@@ -1,0 +1,79 @@
+"""Fetcher: Arrow-batched synthetic HTTP (operator S4 in SURVEY.md §2.1).
+
+Replaces the reference's aiohttp fetch (reference common/request.py:58-92)
+with the deterministic graph oracle (:mod:`pyspider_spark.synth`) applied
+via ``mapInPandas`` — one Python process per partition, Arrow batches in
+and out, zero per-row serialization. The real-network swap point is
+``_fetch_batch``: replace the ``fetch_sim`` call with an async HTTP pool
+over the batch and everything else (retry, politeness, parse) is
+unchanged.
+
+Image payloads: an ``img``-stage fetch materializes the deterministic
+image row (bytes/w/h/fmt/caption/phash — BASELINE.json input_hint) in a
+second ``mapInPandas`` pass over only the img-stage rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from . import synth
+from .schemas import FETCH_RESULTS, IMAGES
+
+_FETCH_COLS = [
+    "url_canon",
+    "host",
+    "stage",
+    "priority",
+    "exetime",
+    "retries",
+    "max_retries",
+    "meta",
+]
+
+
+def run_fetch(popped: DataFrame, spec: synth.GraphSpec) -> DataFrame:
+    """popped frontier rows -> FETCH_RESULTS rows."""
+
+    def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _fetch_batch(pdf, spec)
+
+    return popped.select(*_FETCH_COLS).mapInPandas(fetch_partition, schema=FETCH_RESULTS)
+
+
+def _fetch_batch(pdf: pd.DataFrame, spec: synth.GraphSpec) -> pd.DataFrame:
+    statuses, bodies, links, imgs = [], [], [], []
+    for u in pdf["url_canon"]:
+        r = synth.fetch_sim(spec, u)
+        statuses.append(r["status"])
+        bodies.append(r["body"])
+        links.append(r["out_links"])
+        imgs.append(r["image_refs"])
+    out = pdf.copy()
+    out["status"] = pd.Series(statuses, index=pdf.index, dtype="int32")
+    out["body"] = bodies
+    out["out_links"] = links
+    out["image_refs"] = imgs
+    return out
+
+
+def materialize_images(ok_results: DataFrame, spec: synth.GraphSpec) -> DataFrame:
+    """img-stage fetch results -> IMAGES rows (bytes built per Arrow batch)."""
+    img_rows = ok_results.filter("stage = 'img'").select("host", "image_refs")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, refs in zip(pdf["host"], pdf["image_refs"]):
+                for image_id in refs or []:
+                    rows.append(synth.image_row(spec, host, image_id))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    return img_rows.mapInPandas(build, schema=IMAGES)

@@ -1,0 +1,169 @@
+"""Fixed StructType schemas for every engine table.
+
+The reference keeps all schemas implicit in parse code (item dict at
+reference spiders/amazon/crawl_goods_list.py:58-91; RequestBody at
+common/response.py:7-15). Here every table has one declared schema,
+enforced on write (FIXTURES.md; BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Frontier row ≙ RequestBody (reference common/response.py:7-15) + scheduling
+# state the reference keeps implicitly (retry counter common/spider.py:133-135,
+# page counter in meta common/example.py:43) + north-rule fields
+# (priority/exetime/lineage). ``stage`` replaces the ``callback`` fn pointer.
+FRONTIER = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_canon", T.StringType(), True),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("priority", T.IntegerType(), False),
+        # exetime in integer "round ticks" — deterministic, no wall clock.
+        T.StructField("exetime", T.LongType(), False),
+        T.StructField("retries", T.IntegerType(), False),
+        T.StructField("max_retries", T.IntegerType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("round_added", T.IntegerType(), False),
+        T.StructField("lineage", T.StringType(), True),
+        T.StructField("salt", T.IntegerType(), True),
+    ]
+)
+
+# Authoritative image payload schema (BASELINE.json input_hint).
+IMAGES = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+# URL-seen set (≙ in-memory set()s + Redis SADD in the reference:
+# spiders/amazon/crawl_cate_link.py:56, spiders/pdd/billboard/
+# crawl_billboard_id.py:16-17). partition_id co-partitions with the
+# per-partition bloom blobs in SEEN_FILTERS.
+SEEN = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("first_round", T.IntegerType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+    ]
+)
+
+# Per-partition bloom filter blobs over SEEN (SURVEY.md §4.3).
+SEEN_FILTERS = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("n_items", T.LongType(), False),
+        T.StructField("filter", T.BinaryType(), False),
+    ]
+)
+
+# Extracted item ≙ the amazon goods item dict
+# (reference spiders/amazon/crawl_goods_list.py:58-91).
+ITEMS = T.StructType(
+    [
+        T.StructField("asin_id", T.StringType(), True),
+        T.StructField("img_url", T.StringType(), True),
+        T.StructField("goods_name", T.StringType(), True),
+        T.StructField("star_rating", T.StringType(), True),
+        T.StructField("price", T.StringType(), True),
+        T.StructField("goods_detail_link", T.StringType(), True),
+        T.StructField("goods_comment_num", T.StringType(), True),
+        T.StructField("goods_comment_link", T.StringType(), True),
+        T.StructField("src_url_canon", T.StringType(), True),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
+# Per-round counters (north rule: fetched, deduped, deferred-for-politeness;
+# reference analogue success_counts/failed_counts common/spider.py:154-156).
+METRICS = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("popped", T.LongType(), False),
+        T.StructField("fetched_ok", T.LongType(), False),
+        T.StructField("failed", T.LongType(), False),
+        T.StructField("retried", T.LongType(), False),
+        T.StructField("captcha_requeued", T.LongType(), False),
+        T.StructField("deduped", T.LongType(), False),
+        T.StructField("deferred_politeness", T.LongType(), False),
+        T.StructField("robots_blocked", T.LongType(), False),
+        T.StructField("new_links", T.LongType(), False),
+        T.StructField("items_emitted", T.LongType(), False),
+        T.StructField("images_landed", T.LongType(), False),
+    ]
+)
+
+# Per-host politeness config (≙ Settings defaults + per-spider overrides,
+# reference common/settings.py:4-30, spiders/amazon/crawl_cate_link.py:19-24).
+CONFIG = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("concurrency", T.IntegerType(), False),
+        T.StructField("delay_s", T.DoubleType(), False),
+        T.StructField("timeout_s", T.DoubleType(), False),
+        T.StructField("max_retries", T.IntegerType(), False),
+        T.StructField("pop_budget", T.IntegerType(), False),
+    ]
+)
+
+# robots.txt rules (north-rule addition; absent in the reference).
+ROBOTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("path_prefix", T.StringType(), False),
+        T.StructField("allow", T.BooleanType(), False),
+        T.StructField("crawl_delay_s", T.DoubleType(), True),
+    ]
+)
+
+# Fetch result (≙ Response, reference common/response.py:18-28; body kept
+# as string for page bodies, image payloads land in IMAGES).
+FETCH_RESULTS = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("exetime", T.LongType(), False),
+        T.StructField("retries", T.IntegerType(), False),
+        T.StructField("max_retries", T.IntegerType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("body", T.StringType(), True),
+        T.StructField("out_links", T.ArrayType(T.StringType()), True),
+        T.StructField("image_refs", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+# Keyed TTL cache (≙ Redis hash set_cache/get_cache,
+# reference config/db_setup.py:21-45, cache-aside app/api/jingxi.py:16-28).
+CACHE = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("cached_at", T.LongType(), False),
+    ]
+)
+
+TABLE_SCHEMAS = {
+    "frontier": FRONTIER,
+    "images": IMAGES,
+    "seen": SEEN,
+    "seen_filters": SEEN_FILTERS,
+    "items": ITEMS,
+    "metrics": METRICS,
+    "config": CONFIG,
+    "robots": ROBOTS,
+    "cache": CACHE,
+}

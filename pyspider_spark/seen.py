@@ -1,0 +1,191 @@
+"""URL-seen dedup: exact anti-join + persisted per-partition bloom filters.
+
+Reference semantics: in-memory ``set()`` membership and Redis ``SADD``
+(reference spiders/jingxi/jingxi_category_sales.py:17,101;
+spiders/amazon/crawl_cate_link.py:56) — exactly-once fetch per URL.
+
+Spark-first design (SURVEY.md §4.3):
+
+- URL space is hash-partitioned: ``partition_id = h64(url_canon) % P``.
+- ``seen`` table stores exact url_canons with their partition_id.
+- ``seen_filters`` stores one bloom blob per partition, merged (OR) as
+  rounds append. The blob set is bounded: bits/partition fixed at build
+  time, so 10^10 URLs at 1% FPR ≈ 12 GiB total across ALL partitions of
+  a 1000-executor cluster — each executor holds only its partitions'
+  blobs (cogrouped, never broadcast).
+- Candidate filtering cogroups candidate URLs with their partition's
+  blob via ``applyInPandas`` (Arrow-batched, numpy bit ops — no per-row
+  Python): definite-new rows skip the exact join entirely; only
+  maybe-seen rows hit the exact ``left_anti`` — at steady state that is
+  a small fraction of the batch, so the expensive shuffle join runs on
+  ~(dup_rate + FPR) x batch instead of the full batch.
+
+False positives never cause a re-crawl (safe direction); the exact join
+removes them from the *dedup* decision, so correctness is exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import h64
+from .schemas import SEEN, SEEN_FILTERS
+
+DEFAULT_PARTITIONS = 32
+DEFAULT_BITS_PER_PARTITION = 1 << 20  # 128 KiB/partition for tests; sized up at scale
+N_HASHES = 5
+
+
+def partition_id_col(url_canon, n_partitions: int):
+    """JVM-side partition id must equal the Python-side h64 — so we use a
+    pandas UDF wrapper around h64 rather than xxhash64 (JVM) to keep the
+    oracle/engine/bloom all on one hash. Arrow-batched."""
+    return _pid_udf(n_partitions)(url_canon)
+
+
+def _pid_udf(n_partitions: int):
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.IntegerType())
+    def pid(urls: pd.Series) -> pd.Series:
+        return urls.map(lambda u: h64("pid", u) % n_partitions).astype("int32")
+
+    return pid
+
+
+def _bloom_positions(url: str, n_bits: int) -> list[int]:
+    """Double hashing: pos_i = (h1 + i*h2) mod bits (Kirsch-Mitzenmacher)."""
+    h1 = h64("bf1", url)
+    h2 = h64("bf2", url) | 1
+    return [(h1 + i * h2) % n_bits for i in range(N_HASHES)]
+
+
+def bloom_build(urls: pd.Series, n_bits: int) -> bytes:
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    for u in urls:
+        for p in _bloom_positions(u, n_bits):
+            bits[p >> 3] |= 1 << (p & 7)
+    return bits.tobytes()
+
+
+def bloom_merge(blobs: list[bytes], n_bits: int) -> bytes:
+    acc = np.zeros(n_bits // 8, dtype=np.uint8)
+    for b in blobs:
+        acc |= np.frombuffer(b, dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_maybe_contains(urls: pd.Series, blob: bytes | None, n_bits: int) -> pd.Series:
+    if blob is None:
+        return pd.Series(False, index=urls.index)
+    bits = np.frombuffer(blob, dtype=np.uint8)
+    out = np.empty(len(urls), dtype=bool)
+    for i, u in enumerate(urls):
+        hit = True
+        for p in _bloom_positions(u, n_bits):
+            if not (bits[p >> 3] >> (p & 7)) & 1:
+                hit = False
+                break
+        out[i] = hit
+    return pd.Series(out, index=urls.index)
+
+
+def expected_fpr(n_items: int, n_bits: int) -> float:
+    if n_items == 0:
+        return 0.0
+    return (1.0 - math.exp(-N_HASHES * n_items / n_bits)) ** N_HASHES
+
+
+class SeenSet:
+    """Facade over the seen + seen_filters tables."""
+
+    def __init__(
+        self,
+        store,
+        n_partitions: int = DEFAULT_PARTITIONS,
+        n_bits: int = DEFAULT_BITS_PER_PARTITION,
+        use_bloom: bool = True,
+    ):
+        self.store = store
+        self.P = n_partitions
+        self.n_bits = n_bits
+        self.use_bloom = use_bloom
+
+    def read(self) -> DataFrame:
+        return self.store.read_or_empty("seen", SEEN)
+
+    def filter_unseen(self, candidates: DataFrame, url_col: str = "url_canon") -> DataFrame:
+        """Return candidates whose url_canon is NOT in the seen set.
+
+        Plan shape: [bloom cogroup prefilter] -> exact left_anti on the
+        maybe-seen slice only -> union with definite-new slice.
+        """
+        seen = self.read()
+        if not self.use_bloom:
+            return candidates.join(
+                seen.select("url_canon").withColumnRenamed("url_canon", url_col),
+                on=url_col,
+                how="left_anti",
+            )
+
+        filters = self.store.read_or_empty("seen_filters", SEEN_FILTERS)
+        cands = candidates.withColumn("_pid", partition_id_col(F.col(url_col), self.P))
+
+        n_bits = self.n_bits
+        cand_schema = cands.schema
+
+        def flag(cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(cand_pdf) == 0:
+                return cand_pdf.assign(_maybe=pd.Series([], dtype=bool))
+            blob = None
+            if len(filt_pdf) > 0:
+                blob = bloom_merge(list(filt_pdf["filter"]), n_bits)
+            maybe = bloom_maybe_contains(cand_pdf[url_col], blob, n_bits)
+            return cand_pdf.assign(_maybe=maybe)
+
+        out_schema = cand_schema.add("_maybe", "boolean")
+        flagged = (
+            cands.groupBy("_pid")
+            .cogroup(filters.withColumnRenamed("partition_id", "_pid").groupBy("_pid"))
+            .applyInPandas(flag, schema=out_schema)
+        )
+        definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe", "_pid")
+        maybe_seen = flagged.filter(F.col("_maybe")).drop("_maybe", "_pid")
+        survivors = maybe_seen.join(
+            seen.select("url_canon").withColumnRenamed("url_canon", url_col),
+            on=url_col,
+            how="left_anti",
+        )
+        return definite_new.unionByName(survivors)
+
+    def add(self, urls: DataFrame, round_no: int, url_col: str = "url_canon") -> None:
+        """Insert-if-absent (Redis SADD analogue) + merge bloom blobs."""
+        rows = (
+            urls.select(F.col(url_col).alias("url_canon"))
+            .dropDuplicates(["url_canon"])
+            .withColumn("first_round", F.lit(round_no).cast("int"))
+            .withColumn("partition_id", partition_id_col(F.col("url_canon"), self.P))
+        )
+        self.store.merge_insert_if_absent("seen", rows, "url_canon", SEEN)
+        if self.use_bloom:
+            n_bits = self.n_bits
+
+            def build(pdf: pd.DataFrame) -> pd.DataFrame:
+                pid = int(pdf["partition_id"].iloc[0])
+                blob = bloom_build(pdf["url_canon"], n_bits)
+                return pd.DataFrame(
+                    {
+                        "partition_id": [pid],
+                        "round": [round_no],
+                        "n_items": [len(pdf)],
+                        "filter": [blob],
+                    }
+                )
+
+            blobs = rows.groupBy("partition_id").applyInPandas(build, schema=SEEN_FILTERS)
+            self.store.append("seen_filters", blobs)

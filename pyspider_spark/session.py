@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Local-mode testing uses ``local[$SPARK_GRAFT_CPUS]``; the same confs are
+what we would ship to a 1000-executor cluster via ``spark-submit
+--py-files`` (only master/memory change). AQE is on so skewed hosts get
+runtime-split shuffle partitions; Arrow is on because every Python-side
+transform in this engine is pandas/Arrow-batched (no per-row Python UDFs
+anywhere — audited in tests/test_no_row_udfs.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "pyspider_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``shuffle_partitions`` defaults to the core count: at sf<=0.1 a
+    partition per core keeps every shuffle single-wave; on a real
+    cluster this is overridden to ~2-3x total cores.
+    """
+    cores = cores or default_parallelism()
+    shuffle = shuffle_partitions or cores
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

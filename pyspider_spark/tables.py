@@ -1,0 +1,161 @@
+"""Snapshot-versioned table store (Iceberg-shaped, parquet-backed).
+
+The north rule targets Iceberg tables. This container image has no
+Iceberg jars, so this module implements the same *semantics* on plain
+parquet + JSON manifests, behind an interface small enough that swapping
+in a real Iceberg catalog (``df.writeTo(...).append()`` / ``MERGE INTO``)
+is a config change, not a redesign:
+
+- **append is a metadata operation**: each write lands a new immutable
+  data directory; a snapshot is the *list* of directories. No rewrite of
+  existing data (same as Iceberg manifests).
+- **reads are snapshot-pinned**: readers name a snapshot id; concurrent
+  writers never disturb them (time travel for free).
+- **commits are atomic**: manifest JSON written to a temp file and
+  ``os.rename``d — readers see old or new, never half.
+- **multi-table transactions** (the per-round checkpoint) are layered on
+  top by ``loop.RoundManifest``, which pins one snapshot id per table and
+  rolls pointers back on resume (Iceberg analogue: one snapshot per table
+  + an external round ledger).
+
+Scale note (100 TB): the store keeps data directories immutable and
+append-only, so the frontier/seen tables compact by OVERWRITE snapshots
+written by a dedicated compaction round — same pattern as Iceberg's
+rewrite_data_files. Reading N directories is one multi-path parquet scan;
+Spark parallelizes by file, so snapshot fan-in does not serialize reads.
+
+Reference analogues: Redis LPUSH/SADD/HSET sinks
+(reference config/db_setup.py:16-211, common/spider.py:194-215) all become
+appends/merges here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+
+
+class TableStore:
+    """A directory of snapshot-versioned tables."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+
+    # ---------- manifest plumbing ----------
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.root, _MANIFEST_DIR, f"{name}.json")
+
+    def _load_manifest(self, name: str) -> dict:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return {"table": name, "current": None, "snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, name: str, manifest: dict) -> None:
+        p = self._manifest_path(name)
+        tmp = f"{p}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.rename(tmp, p)  # atomic on POSIX
+
+    def _snapshot(self, manifest: dict, snapshot_id: int | None) -> dict | None:
+        snaps = manifest["snapshots"]
+        if not snaps:
+            return None
+        sid = manifest["current"] if snapshot_id is None else snapshot_id
+        for s in snaps:
+            if s["id"] == sid:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not found for {manifest['table']}")
+
+    # ---------- public API ----------
+    def exists(self, name: str) -> bool:
+        return self._load_manifest(name)["current"] is not None
+
+    def current_snapshot_id(self, name: str) -> int | None:
+        return self._load_manifest(name)["current"]
+
+    def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        m = self._load_manifest(name)
+        snap = self._snapshot(m, snapshot_id)
+        if snap is None or not snap["dirs"]:
+            raise FileNotFoundError(f"table {name} is empty/unwritten")
+        return self.spark.read.parquet(*snap["dirs"])
+
+    def read_or_empty(self, name: str, schema) -> DataFrame:
+        m = self._load_manifest(name)
+        snap = self._snapshot(m, None)
+        if snap is None or not snap["dirs"]:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*snap["dirs"])
+
+    def _write_datadir(self, name: str, df: DataFrame) -> str:
+        d = os.path.join(self.root, name, f"data-{uuid.uuid4().hex}")
+        df.write.mode("errorifexists").parquet(d)
+        return d
+
+    @staticmethod
+    def _next_sid(m: dict) -> int:
+        return max((s["id"] for s in m["snapshots"]), default=0) + 1
+
+    def append(self, name: str, df: DataFrame) -> int:
+        """New snapshot = previous dirs + one new dir (metadata-only append)."""
+        m = self._load_manifest(name)
+        prev = self._snapshot(m, None)
+        d = self._write_datadir(name, df)
+        sid = self._next_sid(m)
+        dirs = (prev["dirs"] if prev else []) + [d]
+        m["snapshots"].append({"id": sid, "op": "append", "dirs": dirs})
+        m["current"] = sid
+        self._commit_manifest(name, m)
+        return sid
+
+    def overwrite(self, name: str, df: DataFrame) -> int:
+        """New snapshot replaces all data (compaction / frontier rewrite)."""
+        m = self._load_manifest(name)
+        d = self._write_datadir(name, df)
+        sid = self._next_sid(m)
+        m["snapshots"].append({"id": sid, "op": "overwrite", "dirs": [d]})
+        m["current"] = sid
+        self._commit_manifest(name, m)
+        return sid
+
+    def merge_insert_if_absent(self, name: str, df: DataFrame, key: str, schema) -> int:
+        """Iceberg ``MERGE ... WHEN NOT MATCHED INSERT`` (Redis SADD analogue,
+        reference spiders/amazon/crawl_cate_link.py:56). Append-only: the
+        anti-join keeps existing rows untouched; only genuinely-new keys land
+        in the new data dir."""
+        existing = self.read_or_empty(name, schema)
+        fresh = df.dropDuplicates([key]).join(existing.select(key), on=key, how="left_anti")
+        return self.append(name, fresh)
+
+    def rollback(self, name: str, snapshot_id: int | None) -> None:
+        """Point the table back at an earlier snapshot (resume path)."""
+        m = self._load_manifest(name)
+        if snapshot_id is not None:
+            self._snapshot(m, snapshot_id)  # validate
+        m["current"] = snapshot_id
+        self._commit_manifest(name, m)
+
+    def vacuum(self, name: str) -> None:
+        """Drop data dirs unreachable from the current snapshot."""
+        m = self._load_manifest(name)
+        snap = self._snapshot(m, None)
+        keep = set(snap["dirs"]) if snap else set()
+        tdir = os.path.join(self.root, name)
+        if os.path.isdir(tdir):
+            for d in os.listdir(tdir):
+                full = os.path.join(tdir, d)
+                if full not in keep:
+                    shutil.rmtree(full, ignore_errors=True)
+        m["snapshots"] = [s for s in m["snapshots"] if s["id"] == m["current"]]
+        self._commit_manifest(name, m)
