@@ -1,0 +1,372 @@
+"""Batch-iterative crawl loop with atomic per-round checkpoints + resume.
+
+One round ≙ one full pass of the reference's producer/worker machinery
+(reference common/spider.py:277-290): read frontier → dedup → robots →
+budgeted pop → fetch → parse → write-back. The driver loop replaces the
+asyncio queue/join (common/spider.py:285); Spark task parallelism
+replaces the 4 workers (common/settings.py:11).
+
+Checkpoint contract (north rule): after each round the engine appends an
+entry to the round ledger ``_manifests/rounds.json`` pinning the snapshot
+id of every table plus the round's counters and per-partition lineage.
+A killed job resumes by rolling every table pointer back to the last
+ledger entry and re-running from the next round — byte-identical because
+every value in the system is hash-derived (synth.py) and every ordering
+is total (scheduler.POP_ORDER).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import scheduler, stages, synth
+from .canon import canonicalize_udf, host_of
+from .fetch import materialize_images, run_fetch
+from .schemas import (
+    API_ITEMS,
+    CONFIG,
+    FRONTIER,
+    IMAGES,
+    ITEMS,
+    METRICS,
+    ROBOTS,
+)
+from .seen import SeenSet
+from .synth import CAPTCHA_MARKER, GraphSpec
+from .tables import TableStore
+
+ALL_TABLES = ["frontier", "seen", "seen_filters", "items", "api_items", "images", "metrics"]
+
+
+def _priority_udf():
+    @F.pandas_udf(T.IntegerType())
+    def prio(urls: pd.Series) -> pd.Series:
+        return urls.map(synth.priority_of).astype("int32")
+
+    return prio
+
+
+def _seed_exetime_udf():
+    @F.pandas_udf(T.LongType())
+    def exe(urls: pd.Series) -> pd.Series:
+        return urls.map(synth.seed_exetime).astype("int64")
+
+    return exe
+
+
+def stage_col(url_canon):
+    """stage from URL path — JVM-side CASE (mirrors synth.stage_of)."""
+    head = F.regexp_extract(url_canon, r"://[^/]+/([a-z]+)", 1)
+    return (
+        F.when(head.isin("list", "detail", "api", "img"), head)
+        .otherwise(F.lit("list"))
+    )
+
+
+@dataclass
+class RoundStats:
+    round: int
+    popped: int = 0
+    fetched_ok: int = 0
+    failed: int = 0
+    retried: int = 0
+    captcha_requeued: int = 0
+    deduped: int = 0
+    deferred_politeness: int = 0
+    robots_blocked: int = 0
+    new_links: int = 0
+    items_emitted: int = 0
+    images_landed: int = 0
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        spec: GraphSpec,
+        n_seen_partitions: int = 32,
+        use_bloom: bool = True,
+        global_budget: int | None = None,
+        collect_pop_sequence: bool = False,
+    ):
+        self.spark = spark
+        self.spec = spec
+        self.store = TableStore(spark, workdir)
+        self.seen = SeenSet(self.store, n_partitions=n_seen_partitions, use_bloom=use_bloom)
+        self.global_budget = global_budget
+        self.collect_pop_sequence = collect_pop_sequence
+        self.pop_sequences: dict[int, list[str]] = {}
+        self._ledger_path = os.path.join(workdir, "_manifests", "rounds.json")
+
+    # ------------------------------------------------------------- ledger
+    def _read_ledger(self) -> list[dict]:
+        if not os.path.exists(self._ledger_path):
+            return []
+        with open(self._ledger_path) as f:
+            return json.load(f)
+
+    def _append_ledger(self, entry: dict) -> None:
+        ledger = self._read_ledger()
+        ledger.append(entry)
+        tmp = f"{self._ledger_path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(ledger, f, indent=1)
+        os.rename(tmp, self._ledger_path)
+
+    def last_completed_round(self) -> int | None:
+        ledger = self._read_ledger()
+        return ledger[-1]["round"] if ledger else None
+
+    def _checkpoint(self, round_no: int, stats: RoundStats, lineage: list[dict]) -> None:
+        snaps = {t: self.store.current_snapshot_id(t) for t in ALL_TABLES}
+        self._append_ledger(
+            {
+                "round": round_no,
+                "snapshots": snaps,
+                "metrics": stats.__dict__,
+                "partition_lineage": lineage,
+            }
+        )
+
+    def restore_to_ledger(self) -> int | None:
+        """Roll every table pointer back to the last complete round
+        (discards any half-written round). Returns last complete round."""
+        ledger = self._read_ledger()
+        if not ledger:
+            for t in ALL_TABLES:
+                self.store.rollback(t, None)
+            return None
+        snaps = ledger[-1]["snapshots"]
+        for t in ALL_TABLES:
+            self.store.rollback(t, snaps.get(t))
+        return ledger[-1]["round"]
+
+    # ---------------------------------------------------------- bootstrap
+    def bootstrap(self) -> None:
+        spark = self.spark
+        self.store.overwrite(
+            "config", spark.createDataFrame(synth.config_rows(self.spec), CONFIG)
+        )
+        self.store.overwrite(
+            "robots",
+            spark.createDataFrame(
+                pd.DataFrame(synth.robots_rows(self.spec)), ROBOTS
+            ),
+        )
+        seeds = spark.createDataFrame(
+            [(u,) for u in synth.seed_urls(self.spec)], ["url"]
+        )
+        seeds = seeds.withColumn("url_canon", canonicalize_udf("url")).withColumn(
+            "host", host_of(F.col("url_canon"))
+        )
+        frontier = seeds.select(
+            "url",
+            "url_canon",
+            "host",
+            _priority_udf()(F.col("url_canon")).alias("priority"),
+            _seed_exetime_udf()(F.col("url_canon")).alias("exetime"),
+            F.lit(0).cast("int").alias("retries"),
+            F.lit(3).cast("int").alias("max_retries"),
+            stage_col(F.col("url_canon")).alias("stage"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
+            F.lit(0).cast("int").alias("round_added"),
+            F.lit("seed").alias("lineage"),
+            F.pmod(F.xxhash64("url_canon"), F.lit(scheduler.N_SALT))
+            .cast("int")
+            .alias("salt"),
+        )
+        self.store.overwrite("frontier", frontier)
+        self._checkpoint(-1, RoundStats(round=-1), [])
+
+    # -------------------------------------------------------------- round
+    def run_round(self, r: int) -> RoundStats:
+        stats = RoundStats(round=r)
+        store, spec = self.store, self.spec
+
+        frontier = store.read_or_empty("frontier", FRONTIER)
+        ready, not_ready = scheduler.split_ready(frontier, r)
+        ready = ready.persist()
+        n_ready = ready.count()
+        if n_ready == 0:
+            not_ready.persist().count()
+            self._write_round_outputs(r, stats, None, None, None, None, not_ready)
+            ready.unpersist()
+            return stats
+
+        batch = scheduler.dedup_batch(ready).persist()
+        n_batch = batch.count()
+
+        fresh = batch.filter(F.col("retries") == 0)
+        retry_rows = batch.filter(F.col("retries") > 0)
+        unseen = self.seen.filter_unseen(fresh).persist()
+        n_fresh = fresh.count()
+        n_unseen = unseen.count()
+        stats.deduped = (n_ready - n_batch) + (n_fresh - n_unseen)
+
+        candidates = unseen.unionByName(retry_rows)
+        robots = store.read_or_empty("robots", ROBOTS)
+        allowed, blocked = scheduler.robots_filter(candidates, robots)
+        blocked = blocked.persist()
+        stats.robots_blocked = blocked.count()
+
+        config = store.read_or_empty("config", CONFIG)
+        popped, deferred = scheduler.pop(allowed, config, r, self.global_budget)
+        popped = popped.persist()
+        deferred = deferred.persist()
+        stats.popped = popped.count()
+        stats.deferred_politeness = deferred.count()
+
+        if self.collect_pop_sequence:
+            seq = (
+                popped.select("url_canon", "priority", "exetime")
+                .orderBy(F.desc("priority"), F.asc("exetime"), F.asc("url_canon"))
+                .collect()
+            )
+            self.pop_sequences[r] = [row.url_canon for row in seq]
+
+        results = run_fetch(popped, spec).persist()
+        ok, requeue, exhausted = scheduler.split_fetch_outcomes(results, CAPTCHA_MARKER)
+        ok = ok.persist()
+        requeue = requeue.persist()
+        stats.fetched_ok = ok.count()
+        stats.failed = exhausted.count()
+        n_requeue = requeue.count()
+        stats.captcha_requeued = requeue.filter(F.col("_captcha")).count()
+        stats.retried = n_requeue - stats.captcha_requeued
+
+        # parse
+        parsed_api = stages.parse_api(ok).persist()
+        new_links_raw = stages.links_from_list(ok).unionByName(
+            stages.links_from_api(parsed_api)
+        )
+        new_rows = self._build_new_frontier_rows(new_links_raw, r).persist()
+        stats.new_links = new_rows.count()
+
+        items = stages.detail_items(ok, r)
+        api_items = stages.api_items(parsed_api, r)
+        images = materialize_images(ok, spec)
+
+        requeue_rows = (
+            requeue.drop("_captcha", "status", "body", "out_links", "image_refs")
+            .withColumn("exetime", F.lit(r + 1).cast("long"))
+            .withColumn("url", F.col("url_canon"))
+            .withColumn("round_added", F.lit(r).cast("int"))
+            .withColumn("lineage", F.lit("retry"))
+            .withColumn(
+                "salt",
+                F.pmod(F.xxhash64("url_canon"), F.lit(scheduler.N_SALT)).cast("int"),
+            )
+            .select(*[f.name for f in FRONTIER.fields])
+        )
+
+        frontier_after = (
+            not_ready.select(*[f.name for f in FRONTIER.fields])
+            .unionByName(deferred.select(*[f.name for f in FRONTIER.fields]))
+            .unionByName(requeue_rows)
+            .unionByName(new_rows)
+        )
+
+        self._write_round_outputs(r, stats, popped, items, api_items, images, frontier_after)
+
+        for df in (ready, batch, unseen, blocked, popped, deferred, results, ok, requeue, parsed_api, new_rows):
+            df.unpersist()
+        return stats
+
+    def _build_new_frontier_rows(self, links: DataFrame, r: int) -> DataFrame:
+        """Canonicalize discovered links, derive stage/priority, dedup the
+        batch deterministically (first parent by url_canon order)."""
+        canon = links.withColumn("url_canon", canonicalize_udf("url")).withColumn(
+            "host", host_of(F.col("url_canon"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url_canon").orderBy(F.asc("parent"))
+        canon = (
+            canon.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return canon.select(
+            "url",
+            "url_canon",
+            "host",
+            _priority_udf()(F.col("url_canon")).alias("priority"),
+            F.lit(r + 1).cast("long").alias("exetime"),
+            F.lit(0).cast("int").alias("retries"),
+            F.lit(3).cast("int").alias("max_retries"),
+            stage_col(F.col("url_canon")).alias("stage"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
+            F.lit(r).cast("int").alias("round_added"),
+            F.col("parent").alias("lineage"),
+            F.pmod(F.xxhash64("url_canon"), F.lit(scheduler.N_SALT))
+            .cast("int")
+            .alias("salt"),
+        )
+
+    def _write_round_outputs(
+        self, r, stats, popped, items, api_items, images, frontier_after
+    ) -> None:
+        store = self.store
+        if popped is not None:
+            first_pops = popped.filter(F.col("retries") == 0)
+            self.seen.add(first_pops, r)
+        if items is not None:
+            items_df = items.persist()
+            stats.items_emitted = items_df.count()
+            store.append("items", items_df.select(*[f.name for f in ITEMS.fields]))
+        if api_items is not None:
+            api_df = api_items.persist()
+            stats.items_emitted += api_df.count()
+            store.append("api_items", api_df.select(*[f.name for f in API_ITEMS.fields]))
+        if images is not None:
+            img_df = images.persist()
+            stats.images_landed = img_df.count()
+            store.append("images", img_df.select(*[f.name for f in IMAGES.fields]))
+        store.overwrite("frontier", frontier_after.select(*[f.name for f in FRONTIER.fields]))
+
+        metrics_row = self.spark.createDataFrame([stats.__dict__], METRICS)
+        store.append("metrics", metrics_row)
+
+        lineage = self._partition_lineage(r)
+        self._checkpoint(r, stats, lineage)
+
+    def _partition_lineage(self, r: int) -> list[dict]:
+        """Per-partition row counts of the frontier-after state (north
+        rule: checkpoint carries per-partition lineage)."""
+        df = self.store.read_or_empty("frontier", FRONTIER)
+        counts = (
+            df.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .orderBy("pid")
+            .collect()
+        )
+        return [{"round": r, "partition": int(x.pid), "rows": int(x["count"])} for x in counts]
+
+    # ---------------------------------------------------------------- run
+    def run(self, max_rounds: int = 10, resume: bool = False) -> list[RoundStats]:
+        if resume:
+            last = self.restore_to_ledger()
+            if last is None:  # nothing ever committed — fresh start
+                self.bootstrap()
+                last = -1
+            start = last + 1
+        else:
+            self.bootstrap()
+            start = 0
+        all_stats = []
+        for r in range(start, max_rounds):
+            stats = self.run_round(r)
+            all_stats.append(stats)
+            frontier = self.store.read_or_empty("frontier", FRONTIER)
+            if frontier.limit(1).count() == 0:
+                break
+        return all_stats

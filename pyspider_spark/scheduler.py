@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-POP_ORDER = [F.col("priority").desc(), F.col("exetime").asc(), F.col("url_canon").asc()]
+def pop_order():
+    """The authoritative total pop order (north rule)."""
+    return [F.col("priority").desc(), F.col("exetime").asc(), F.col("url_canon").asc()]
+
+
 N_SALT = 16  # salt buckets per host (FIXTURES.md §1)
 
 DEFAULT_BUDGET = 20  # reference Settings.concurrency, common/settings.py:6
@@ -57,6 +61,8 @@ def dedup_batch(ready: DataFrame) -> DataFrame:
         F.col("retries").desc(),
         F.col("round_added").asc(),
         F.col("stage").asc(),
+        F.col("url").asc(),  # total order even for canonical-equivalent dups
+        F.col("lineage").asc_nulls_first(),
     )
     return (
         ready.withColumn("_rn", F.row_number().over(w))
@@ -108,20 +114,20 @@ def pop(
     df = with_salt(df)
 
     # Stage 1 (skew kill): cap each (host, salt) bucket at the host budget.
-    w_salt = Window.partitionBy("host", "salt").orderBy(*POP_ORDER)
+    w_salt = Window.partitionBy("host", "salt").orderBy(*pop_order())
     df = df.withColumn("_srn", F.row_number().over(w_salt))
     survivors = df.filter(F.col("_srn") <= F.col("_budget"))
     salt_overflow = df.filter(F.col("_srn") > F.col("_budget"))
 
     # Stage 2: exact per-host rank on the capped set (≤ N_SALT x budget rows/host).
-    w_host = Window.partitionBy("host").orderBy(*POP_ORDER)
+    w_host = Window.partitionBy("host").orderBy(*pop_order())
     survivors = survivors.withColumn("_hrn", F.row_number().over(w_host))
     in_budget = survivors.filter(F.col("_hrn") <= F.col("_budget"))
     host_overflow = survivors.filter(F.col("_hrn") > F.col("_budget"))
 
     # Stage 3: global cap (ref spop count=1000).
     if global_budget is not None:
-        w_glob = Window.orderBy(*POP_ORDER)  # single-partition window on ≤ Σ budgets rows
+        w_glob = Window.orderBy(*pop_order())  # single-partition window on ≤ Σ budgets rows
         in_budget = in_budget.withColumn("_grn", F.row_number().over(w_glob))
         popped = in_budget.filter(F.col("_grn") <= F.lit(global_budget))
         glob_overflow = in_budget.filter(F.col("_grn") > F.lit(global_budget))

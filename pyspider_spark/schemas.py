@@ -84,6 +84,20 @@ ITEMS = T.StructType(
     ]
 )
 
+# API item rows (≙ the jingxi sales records summed per keyword,
+# reference spiders/jingxi/jingxi_category_sales.py:61-67).
+API_ITEMS = T.StructType(
+    [
+        T.StructField("sku", T.StringType(), False),
+        T.StructField("tuancount", T.LongType(), True),
+        T.StructField("salecount", T.LongType(), True),
+        T.StructField("cat", T.IntegerType(), True),
+        T.StructField("page", T.IntegerType(), True),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
 # Per-round counters (north rule: fetched, deduped, deferred-for-politeness;
 # reference analogue success_counts/failed_counts common/spider.py:154-156).
 METRICS = T.StructType(
@@ -162,6 +176,7 @@ TABLE_SCHEMAS = {
     "seen": SEEN,
     "seen_filters": SEEN_FILTERS,
     "items": ITEMS,
+    "api_items": API_ITEMS,
     "metrics": METRICS,
     "config": CONFIG,
     "robots": ROBOTS,

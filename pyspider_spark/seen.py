@@ -148,7 +148,11 @@ class SeenSet:
             maybe = bloom_maybe_contains(cand_pdf[url_col], blob, n_bits)
             return cand_pdf.assign(_maybe=maybe)
 
-        out_schema = cand_schema.add("_maybe", "boolean")
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            list(cand_schema.fields) + [T.StructField("_maybe", T.BooleanType())]
+        )
         flagged = (
             cands.groupBy("_pid")
             .cogroup(filters.withColumnRenamed("partition_id", "_pid").groupBy("_pid"))

@@ -1,0 +1,158 @@
+"""Parse stages — declarative column pipelines per stage (SURVEY.md §2.2/§2.7).
+
+The reference dispatches responses to per-spider callback functions
+(reference common/spider.py:107-115,165-186). Here each stage is a
+DataFrame→DataFrame function over the fetched batch, dispatched by the
+``stage`` column — a deterministic dispatch table, no per-row function
+pointers. Every extraction below is a native Column expression
+(regexp/from_json/substring — whole-stage codegen); no Python runs in
+any parse stage.
+
+Operator map (reference file:line → here):
+- P1 JSONP unwrap (jingxi_category_gather.py:34-36)       → ``substring``
+- P2 backslash repair (jingxi_goods_analysis.py:101-102)  → ``regexp_replace``
+- P4 JSON path (find_goods.py:72)                         → ``from_json`` + getField
+- P5 HTML select (crawl_goods_list.py:53-96)              → ``regexp_extract_all``
+  (the synthetic corpus is regular; real HTML would swap in an
+  Arrow-batched pandas UDF here, the one unavoidable Python spot)
+- P6 projection + '' defaults (crawl_goods_list.py:57-91) → select + coalesce
+- P12 URL templating from counters (example.py:57-59)     → format_string (Q10)
+- Q9 fan-out (spider.py:165-186)                          → explode
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .synth import JSONP_PREFIX, JSONP_SUFFIX
+
+API_BODY_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "result",
+            T.StructType(
+                [
+                    T.StructField(
+                        "data",
+                        T.StructType(
+                            [
+                                T.StructField("cat", T.IntegerType()),
+                                T.StructField("page", T.IntegerType()),
+                                T.StructField(
+                                    "items",
+                                    T.ArrayType(
+                                        T.StructType(
+                                            [
+                                                T.StructField("sku", T.StringType()),
+                                                T.StructField("tuancount", T.LongType()),
+                                                T.StructField("salecount", T.LongType()),
+                                            ]
+                                        )
+                                    ),
+                                ),
+                            ]
+                        ),
+                    )
+                ]
+            ),
+        ),
+        T.StructField("errorMsg", T.StringType()),
+    ]
+)
+
+_LINK_RE = r'<a href="([^"]+)"'
+_IMG_RE = r'<img src="([^"]+)"'
+
+
+def jsonp_unwrap(body):
+    """P1: fixed-width wrapper strip, then parse (``data[len(prefix):-2]``)."""
+    return F.expr(
+        f"substring(body, {len(JSONP_PREFIX) + 1}, "
+        f"length(body) - {len(JSONP_PREFIX) + len(JSONP_SUFFIX)})"
+    )
+
+
+def repair_backslashes(col):
+    """P2: the reference's lone-backslash repair before JSON parse."""
+    return F.regexp_replace(col, r'\\(?![/u"\\])', r"\\\\")
+
+
+def links_from_list(ok: DataFrame) -> DataFrame:
+    """list-stage: harvest <a href> + <img src> targets → one url per row."""
+    lst = ok.filter(F.col("stage") == "list")
+    hrefs = F.regexp_extract_all(F.col("body"), F.lit(_LINK_RE), 1)
+    imgs = F.regexp_extract_all(F.col("body"), F.lit(_IMG_RE), 1)
+    return lst.select(
+        F.col("url_canon").alias("parent"),
+        F.explode(F.concat(hrefs, imgs)).alias("url"),
+    )
+
+
+def links_from_api(parsed_api: DataFrame) -> DataFrame:
+    """api-stage pagination (Q10/P12): next page only while items flow,
+    URL rebuilt from counters like the reference's f-string templating."""
+    nxt = parsed_api.filter(F.size("items") > 0).select(
+        F.col("url_canon").alias("parent"),
+        F.format_string(
+            "https://%s/api/items?cat=%d&page=%d",
+            F.col("host"),
+            F.col("cat"),
+            F.col("page") + F.lit(1),
+        ).alias("url"),
+    )
+    return nxt
+
+
+def parse_api(ok: DataFrame) -> DataFrame:
+    """api-stage: JSONP unwrap → backslash repair → from_json → fields."""
+    api = ok.filter(F.col("stage") == "api")
+    parsed = api.withColumn(
+        "_js", F.from_json(repair_backslashes(jsonp_unwrap(F.col("body"))), API_BODY_SCHEMA)
+    )
+    return parsed.select(
+        "url_canon",
+        "host",
+        F.col("_js.result.data.cat").alias("cat"),
+        F.col("_js.result.data.page").alias("page"),
+        F.coalesce(F.col("_js.result.data.items"), F.array()).alias("items"),
+    )
+
+
+def api_items(parsed_api: DataFrame, round_no: int) -> DataFrame:
+    it = parsed_api.select(
+        "host", "cat", "page", F.explode("items").alias("it")
+    )
+    return it.select(
+        F.col("it.sku").alias("sku"),
+        F.col("it.tuancount").alias("tuancount"),
+        F.col("it.salecount").alias("salecount"),
+        F.col("cat").cast("int").alias("cat"),
+        F.col("page").cast("int").alias("page"),
+        "host",
+        F.lit(round_no).cast("int").alias("round"),
+    )
+
+
+def _span(body, span_id: str):
+    return F.regexp_extract(body, f'<span id="{span_id}">([^<]*)</span>', 1)
+
+
+def detail_items(ok: DataFrame, round_no: int) -> DataFrame:
+    """detail-stage: item projection with '' defaults (P6). Missing fields
+    surface as '' exactly like the reference's per-field try/except."""
+    det = ok.filter(F.col("stage") == "detail")
+    b = F.col("body")
+    return det.select(
+        _span(b, "asin").alias("asin_id"),
+        _span(b, "img").alias("img_url"),
+        _span(b, "name").alias("goods_name"),
+        _span(b, "star").alias("star_rating"),
+        _span(b, "price").alias("price"),
+        _span(b, "dlink").alias("goods_detail_link"),
+        _span(b, "cnum").alias("goods_comment_num"),
+        _span(b, "clink").alias("goods_comment_link"),
+        F.col("url_canon").alias("src_url_canon"),
+        F.lit(round_no).cast("int").alias("round"),
+    )

@@ -199,6 +199,10 @@ def fetch_sim(spec: GraphSpec, url_canon: str) -> dict:
             f'<span id="name">{item["goods_name"]}</span>'
             f'<span id="price">{item["price"] or ""}</span>'
             f'<span id="star">{item["star_rating"] or ""}</span>'
+            f'<span id="img">{item["img_url"]}</span>'
+            f'<span id="dlink">{item["goods_detail_link"]}</span>'
+            f'<span id="cnum">{item["goods_comment_num"]}</span>'
+            f'<span id="clink">{item["goods_comment_link"]}</span>'
             "</body></html>"
         )
 

@@ -1,0 +1,108 @@
+"""End-to-end: the Spark engine must replay the pure-Python oracle
+byte-for-byte — pop sequences, per-round counters, items, final seen set
+(north rule: 'matching the reference's crawl ordering and URL-seen set
+under the same seed list and politeness budget')."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspider_spark.loop import CrawlEngine
+from pyspider_spark.schemas import API_ITEMS, ITEMS, SEEN
+from pyspider_spark.synth import GraphSpec
+
+from .oracle_sim import OracleEngine
+
+ROUNDS = 6
+SPEC = GraphSpec(n_hosts=3, chains_per_host=2)
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("crawl"))
+    eng = CrawlEngine(
+        spark, wd, SPEC, n_seen_partitions=8, use_bloom=True,
+        collect_pop_sequence=True,
+    )
+    stats = eng.run(max_rounds=ROUNDS)
+    return eng, stats
+
+
+@pytest.fixture(scope="module")
+def oracle_run():
+    o = OracleEngine(SPEC)
+    o.run(max_rounds=ROUNDS)
+    return o
+
+
+def test_pop_sequences_match(engine_run, oracle_run):
+    eng, _ = engine_run
+    o = oracle_run
+    assert set(eng.pop_sequences) == set(r for r in o.pop_sequences if r < ROUNDS)
+    for r, seq in eng.pop_sequences.items():
+        assert seq == o.pop_sequences[r], f"round {r} pop order diverged"
+
+
+def test_metrics_match(engine_run, oracle_run):
+    _, stats = engine_run
+    o = oracle_run
+    for s in stats:
+        if s.round not in o.metrics:
+            continue
+        om = o.metrics[s.round]
+        em = s.__dict__
+        assert em == om, f"round {s.round}: {em} != {om}"
+
+
+def test_seen_set_matches(engine_run, oracle_run):
+    eng, _ = engine_run
+    o = oracle_run
+    seen = {
+        r.url_canon for r in eng.store.read_or_empty("seen", SEEN).collect()
+    }
+    assert seen == o.seen
+
+
+def test_items_match(engine_run, oracle_run):
+    eng, _ = engine_run
+    o = oracle_run
+    rows = eng.store.read_or_empty("items", ITEMS).collect()
+    got = {tuple(r) for r in rows}
+    assert got == set(o.items)
+
+
+def test_api_items_match(engine_run, oracle_run):
+    eng, _ = engine_run
+    o = oracle_run
+    rows = eng.store.read_or_empty("api_items", API_ITEMS).collect()
+    got = {tuple(r) for r in rows}
+    assert got == set(o.api_items)
+
+
+def test_images_match(engine_run, oracle_run):
+    eng, _ = engine_run
+    o = oracle_run
+    from pyspider_spark.schemas import IMAGES
+
+    rows = eng.store.read_or_empty("images", IMAGES).select("image_id").collect()
+    assert {r.image_id for r in rows} == o.image_ids
+
+
+def test_exactly_once_fetch(engine_run):
+    """Task-dedup: no url_canon is first-popped twice (Q7/Q8 semantics)."""
+    eng, _ = engine_run
+    all_pops = [u for seq in eng.pop_sequences.values() for u in seq]
+    # retries may repeat a URL; first-pops must be unique
+    firsts = []
+    seen = set()
+    for u in all_pops:
+        if u not in seen:
+            seen.add(u)
+            firsts.append(u)
+    # every repeat must be a retry of a failed/captcha fetch
+    from collections import Counter
+
+    c = Counter(all_pops)
+    repeats = {u: n for u, n in c.items() if n > 1}
+    for u, n in repeats.items():
+        assert n <= 3, f"{u} popped {n} times (> max_retries)"
