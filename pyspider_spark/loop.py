@@ -202,17 +202,14 @@ class CrawlEngine:
             ready.unpersist()
             return stats
 
-        batch = scheduler.dedup_batch(ready).persist()
-        n_batch = batch.count()
-
+        batch = scheduler.dedup_batch(ready)
         fresh = batch.filter(F.col("retries") == 0)
         retry_rows = batch.filter(F.col("retries") > 0)
-        unseen = self.seen.filter_unseen(fresh).persist()
-        n_fresh = fresh.count()
-        n_unseen = unseen.count()
-        stats.deduped = (n_ready - n_batch) + (n_fresh - n_unseen)
+        unseen = self.seen.filter_unseen(fresh)
 
-        candidates = unseen.unionByName(retry_rows)
+        # deduped = (in-batch dups) + (seen-filtered) = ready - candidates
+        candidates = unseen.unionByName(retry_rows).persist()
+        stats.deduped = n_ready - candidates.count()
         robots = store.read_or_empty("robots", ROBOTS)
         allowed, blocked = scheduler.robots_filter(candidates, robots)
         blocked = blocked.persist()
@@ -237,11 +234,20 @@ class CrawlEngine:
         ok, requeue, exhausted = scheduler.split_fetch_outcomes(results, CAPTCHA_MARKER)
         ok = ok.persist()
         requeue = requeue.persist()
-        stats.fetched_ok = ok.count()
-        stats.failed = exhausted.count()
-        n_requeue = requeue.count()
-        stats.captcha_requeued = requeue.filter(F.col("_captcha")).count()
-        stats.retried = n_requeue - stats.captcha_requeued
+        # one agg job for all four fetch-outcome counters
+        is_fail = F.col("status") >= 500
+        is_captcha = (F.col("status") == 200) & F.col("body").contains(CAPTCHA_MARKER)
+        can_retry = F.col("retries") + 1 < F.col("max_retries")
+        oc = results.agg(
+            F.count(F.when(~is_fail & ~is_captcha, 1)).alias("ok"),
+            F.count(F.when((is_fail | is_captcha) & ~can_retry, 1)).alias("failed"),
+            F.count(F.when(is_fail & can_retry, 1)).alias("retried"),
+            F.count(F.when(is_captcha & can_retry, 1)).alias("captcha"),
+        ).collect()[0]
+        stats.fetched_ok = oc["ok"]
+        stats.failed = oc["failed"]
+        stats.retried = oc["retried"]
+        stats.captcha_requeued = oc["captcha"]
 
         # parse
         parsed_api = stages.parse_api(ok).persist()
@@ -277,7 +283,7 @@ class CrawlEngine:
 
         self._write_round_outputs(r, stats, popped, items, api_items, images, frontier_after)
 
-        for df in (ready, batch, unseen, blocked, popped, deferred, results, ok, requeue, parsed_api, new_rows):
+        for df in (ready, candidates, blocked, popped, deferred, results, ok, requeue, parsed_api, new_rows):
             df.unpersist()
         return stats
 
