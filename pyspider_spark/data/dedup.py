@@ -1,0 +1,246 @@
+"""Deduplication operators over the ``documents`` table.
+
+Exact (fingerprint group), MinHash+LSH (shingle → minhash → band →
+bucket self-join), SimHash, and n-gram Jaccard — the standard
+training-corpus near-dup ladder. The crawl engine's URL dedup
+(seen.py) removes re-fetches; these remove *content* duplicates after
+fetch.
+
+Portability contract: the only hash anywhere is ``h32`` =
+first-8-hex-chars of md5, parsed as an unsigned 32-bit integer — both
+Spark (``conv(substr(md5(x),1,8),16,10)``) and DuckDB
+(``('0x'||substr(md5(x),1,8))::BIGINT``) produce the identical value,
+so the DuckDB oracle replays MinHash/SimHash/LSH bit-for-bit.
+
+Scale notes (100 TB):
+- Signatures are per-row projections (codegen, no Python, no shuffle).
+- LSH candidate generation shuffles once on the band key — the whole
+  point of banding is that this shuffle is tiny (4 rows/doc) compared
+  with the quadratic all-pairs join it replaces; band-key hot spots
+  (boilerplate docs) are handled by AQE skew-join splitting.
+- The verify stage joins text back in only for candidate pairs
+  (a small fraction), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+N_MINHASH = 8
+N_BANDS = 4          # 4 bands x 2 rows: collision prob ~ 1-(1-j^2)^4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SHINGLE_K = 5        # word-shingle width for MinHash
+NGRAM_K = 3          # word-shingle width for direct Jaccard
+SIMHASH_BITS = 32
+
+
+def h32_sql(arg_sql: str) -> str:
+    """Spark-SQL snippet for the portable 32-bit hash of a string expr."""
+    return f"cast(conv(substr(md5({arg_sql}), 1, 8), 16, 10) as bigint)"
+
+
+def h32_duck(arg_sql: str) -> str:
+    """DuckDB snippet computing the identical value."""
+    return f"(('0x' || substr(md5({arg_sql}), 1, 8))::BIGINT)"
+
+
+def _shingle_sql(tokens_sql: str, k: int) -> str:
+    """Spark-SQL: distinct hashed k-token shingles of a token array.
+    Docs shorter than k yield an empty array (guarded — Spark's
+    sequence(1, 0) would count DOWN)."""
+    joined = f"array_join(slice({tokens_sql}, i, {k}), ' ')"
+    return (
+        f"case when size({tokens_sql}) >= {k} then "
+        f"array_distinct(transform(sequence(1, size({tokens_sql}) - {k - 1}), "
+        f"i -> {h32_sql(joined)})) else array() end"
+    )
+
+
+def _shingle_duck(tokens_sql: str, k: int) -> str:
+    joined = f"array_to_string({tokens_sql}[i:i+{k - 1}], ' ')"
+    return (
+        f"case when len({tokens_sql}) >= {k} then "
+        f"list_distinct(list_transform(range(1, len({tokens_sql}) - {k - 2}), "
+        f"i -> {h32_duck(joined)})) else [] end"
+    )
+
+
+TOKENS_SQL = r"split(trim(text), '\\s+')"
+TOKENS_DUCK = r"string_split_regex(trim(text), '\s+')"
+
+
+def with_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    return docs.withColumn("shingles", F.expr(_shingle_sql(TOKENS_SQL, k)))
+
+
+def minhash_signature(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """doc_id + mh0..mh{N-1} + band0..band{B-1} (docs with ≥k tokens)."""
+    df = with_shingles(docs, k).filter(F.size("shingles") > 0)
+    for i in range(N_MINHASH):
+        seeded = f"concat('{i}:', cast(h as string))"
+        df = df.withColumn(
+            f"mh{i}",
+            F.expr(f"array_min(transform(shingles, h -> {h32_sql(seeded)}))"),
+        )
+    for b in range(N_BANDS):
+        parts = ", ".join(
+            f"cast(mh{b * ROWS_PER_BAND + r} as string)"
+            for r in range(ROWS_PER_BAND)
+        )
+        df = df.withColumn(
+            f"band{b}", F.md5(F.expr(f"concat_ws(':', '{b}', {parts})"))
+        )
+    return df
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band-bucket self-join → distinct candidate (doc_a < doc_b) pairs.
+    One shuffle on the band key; no all-pairs join."""
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
+            "band_key"
+        ),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(right, on="band_key")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_bp(a_shingles: str, b_shingles: str) -> str:
+    """Spark-SQL: floor(10000 * |A∩B| / |A∪B|) — integer basis points.
+    Inputs are already-distinct shingle-hash arrays."""
+    inter = f"size(array_intersect({a_shingles}, {b_shingles}))"
+    union = f"size(array_distinct(concat({a_shingles}, {b_shingles})))"
+    return f"cast(floor({inter} * 10000.0 / greatest({union}, 1)) as bigint)"
+
+
+def jaccard_bp_duck(a: str, b: str) -> str:
+    inter = f"len(list_intersect({a}, {b}))"
+    union = f"len(list_distinct(list_cat({a}, {b})))"
+    return f"cast(floor({inter} * 10000.0 / greatest({union}, 1)) as bigint)"
+
+
+def minhash_near_dups(
+    docs: DataFrame, threshold_bp: int = 4000, k: int = SHINGLE_K
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → banded candidates →
+    exact-Jaccard verify on candidates only."""
+    sigs = minhash_signature(docs, k).select(
+        "doc_id", "shingles", *[f"band{b}" for b in range(N_BANDS)]
+    )
+    pairs = lsh_candidate_pairs(sigs)
+    sh = sigs.select("doc_id", "shingles")
+    verified = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), on="doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), on="doc_b")
+        .withColumn("jaccard_bp", F.expr(jaccard_bp("sh_a", "sh_b")))
+        .filter(F.col("jaccard_bp") >= threshold_bp)
+        .select("doc_a", "doc_b", "jaccard_bp")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold_bp: int = 500, k: int = NGRAM_K
+) -> DataFrame:
+    """Direct pairwise n-gram Jaccard, blocked by ``lang`` (the blocking
+    key bounds the quadratic term; at scale the block would be an LSH
+    band instead — see minhash_near_dups)."""
+    sh = with_shingles(docs, k).filter(F.size("shingles") > 0).select(
+        "doc_id", "lang", "shingles"
+    )
+    a = sh.select(
+        F.col("lang"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("lang"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    return (
+        a.join(b, on="lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard_bp", F.expr(jaccard_bp("sh_a", "sh_b")))
+        .filter(F.col("jaccard_bp") >= threshold_bp)
+        .select("doc_a", "doc_b", "jaccard_bp")
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over token hashes: per bit, sum +1/-1 across the
+    doc's tokens; bit set iff the sum is positive.
+
+    Implemented as explode → one groupBy(doc_id) with 32 conditional
+    sums (map-side partial agg makes the shuffle tiny: 1 row/doc)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_SQL)).alias("tok")
+    ).withColumn("th", F.expr(h32_sql("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(th >> {b}) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    expr = " + ".join(
+        f"(case when s{b} > 0 then cast({1 << b} as bigint) else 0 end)"
+        for b in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", F.expr(expr).alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup pairs: block on 8-bit bands (a pair within
+    hamming ≤ 6 of 32 bits must agree exactly on ≥1 of 4 bands), then
+    exact hamming check on candidates."""
+    sh = simhash(docs)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"concat('{b}:', cast((simhash >> {8 * b}) & 255 as string))")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    l = bands.select(
+        F.col("band_key"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+    )
+    r = bands.select(
+        F.col("band_key"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    return (
+        l.join(r, on="band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per content fingerprint."""
+    fp = docs.withColumn("fp", fingerprint(F.col("text")))
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )

@@ -1,0 +1,157 @@
+"""Multimodal (binary-column) plumbing: images as opaque ``binary`` +
+typed metadata, with decode / feature-extract / resize as Arrow-batched
+pandas transforms.
+
+This container has no PIL/libjpeg/ffmpeg, so the codec layer is
+:mod:`pyspider_spark.imaging` (real stdlib PNG; clearly-marked
+deterministic lossy stub for 'jpeg' — see imaging.py docstring). The
+Spark-side plumbing — binary schema, mapInPandas batch shape, partition
+behavior — is real and is what these operators exercise.
+
+Audio/video decode is stubbed behind NotImplementedError with the same
+batch signature, so swapping in a real decoder is a one-function change.
+
+Scale notes (100 TB of images): decode runs inside mapInPandas — one
+Python worker per core, Arrow transfer, no JVM round-trips per row; the
+operators are embarrassingly parallel (no shuffle). Batch size is
+bounded by spark.sql.execution.arrow.maxRecordsPerBatch so executor
+memory holds decoded pixels for one batch only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .. import imaging
+from ..hashing import h64
+from ..schemas import IMAGES
+
+IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("mean_luma_milli", T.LongType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def synthesize_images(docs: DataFrame, per_doc: int = 1) -> DataFrame:
+    """Deterministic IMAGES-schema rows keyed by doc_id (test corpus for
+    the binary-column pipeline; same codec path as the crawl fetcher)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                for j in range(per_doc):
+                    image_id = f"doc{doc_id}-{j}"
+                    w = (32, 64)[h64("mw", image_id) % 2]
+                    h = (32, 64)[h64("mh", image_id) % 2]
+                    fmt = "jpeg" if h64("mf", image_id) % 2 else "png"
+                    rgb = imaging.synth_image(image_id, w, h)
+                    rows.append(
+                        {
+                            "image_id": image_id,
+                            "bytes": imaging.encode(rgb, fmt),
+                            "w": w,
+                            "h": h,
+                            "fmt": fmt,
+                            "caption": f"synthetic caption {image_id}",
+                            "phash": imaging.phash64(rgb),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=IMAGES)
+
+
+def extract_features(images: DataFrame) -> DataFrame:
+    """Decode each binary payload and emit typed features (the
+    feature-extract stage of a multimodal pipeline)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    rgb = imaging.decode(bytes(rec.bytes), rec.fmt)
+                    luma = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                    rows.append(
+                        {
+                            "image_id": rec.image_id,
+                            "w": int(rgb.shape[1]),
+                            "h": int(rgb.shape[0]),
+                            "fmt": rec.fmt,
+                            "n_bytes": len(rec.bytes),
+                            "mean_luma_milli": int(np.floor(luma.mean() * 1000)),
+                            "phash": imaging.phash64(rgb),
+                            "decode_ok": True,
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {
+                            "image_id": rec.image_id,
+                            "w": None,
+                            "h": None,
+                            "fmt": rec.fmt,
+                            "n_bytes": len(rec.bytes) if rec.bytes is not None else 0,
+                            "mean_luma_milli": None,
+                            "phash": None,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES.fields])
+
+    return images.mapInPandas(feats, schema=IMAGE_FEATURES)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of the binary payloads (batch-shaped; the
+    production swap point for a real resampler)."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            new_bytes, new_phash = [], []
+            for rec in pdf.itertuples(index=False):
+                rgb = imaging.decode(bytes(rec.bytes), rec.fmt)
+                ys = (np.arange(out_h) * rgb.shape[0] // out_h).clip(0, rgb.shape[0] - 1)
+                xs = (np.arange(out_w) * rgb.shape[1] // out_w).clip(0, rgb.shape[1] - 1)
+                small = rgb[ys][:, xs]
+                new_bytes.append(imaging.encode(small, rec.fmt))
+                new_phash.append(imaging.phash64(small))
+            out["bytes"] = new_bytes
+            out["phash"] = new_phash
+            out["w"] = out_w
+            out["h"] = out_h
+            yield out
+
+    return images.mapInPandas(rz, schema=IMAGES)
+
+
+def decode_audio_batch(payloads: pd.Series) -> pd.Series:
+    """STUB: audio decode (no audio libs in this container). Keeps the
+    batch signature a real decoder would use."""
+    raise NotImplementedError(
+        "audio decode requires an audio codec library absent from this environment"
+    )
+
+
+def sample_video_frames_batch(payloads: pd.Series, every_n: int) -> pd.Series:
+    """STUB: video frame sampling (no ffmpeg in this container)."""
+    raise NotImplementedError(
+        "video frame sampling requires ffmpeg, absent from this environment"
+    )

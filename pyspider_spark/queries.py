@@ -1,0 +1,886 @@
+"""Driver-contract query registry: every SQL-expressible operator from
+SURVEY.md §2 re-expressed over the driver's test tables, paired with a
+DuckDB oracle that computes bit-identical values.
+
+Two families:
+
+1. **Crawl operators** (SURVEY.md §2.1-§2.7), shaped onto the TPC-H-ish
+   tables: ``orders`` plays the frontier (o_orderpriority ≙ priority,
+   o_orderdate ≙ exetime, o_custkey ≙ host), ``events`` plays the fetch
+   log / cache, ``customer``/``nation`` play the config dims.
+2. **Training-data operators** (dedup / similarity / text / multimodal)
+   over ``documents`` and ``embeddings``.
+
+Portability rules (why these oracles hash-match):
+- the only hash is md5 (both engines agree on it bit-for-bit);
+- every float aggregate quantizes to integers FIRST (cents / basis
+  points / milli-units) — integer sums are order-independent;
+- floats appearing in outputs are parquet pass-through values only;
+- regexes are RE2-safe (no lookaround);
+- window orders carry full deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .data import dedup as D
+from .data import multimodal as M
+from .data import similarity as S
+from .data import text as X
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → driver does rows-only check
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# family 1: crawl operators on TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+# A1 running sum (ref jingxi_category_sales.py:61-67) as the TPC-H Q1-shaped
+# pricing rollup; money quantized to cents pre-sum.
+@register(
+    "a1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.expr("cast(floor(l_quantity) as bigint)")).alias("sum_qty"),
+        F.sum(F.expr("cast(floor(l_extendedprice * 100) as bigint)")).alias(
+            "sum_price_cents"
+        ),
+        F.sum(
+            F.expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+        ).alias("sum_disc_price_cents"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# A2 success/failed counters (ref common/spider.py:154-156): one agg pass,
+# conditional counts per outcome class.
+@register(
+    "a2_outcome_counters",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE value >= 10) AS n_big,
+           COUNT(*) FILTER (WHERE value < 10) AS n_small,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def a2_outcome_counters(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("value") >= 10, 1)).alias("n_big"),
+        F.count(F.when(F.col("value") < 10, 1)).alias("n_small"),
+        F.sum(F.expr("cast(floor(value * 100) as bigint)")).alias("sum_value_cents"),
+    )
+
+
+# A3 distinct-count progress metric (ref crawl_billboard_id.py:93).
+@register(
+    "a3_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def a3_distinct_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+# A6 group-concat (ref jingxi_category_sales.py:115).
+@register(
+    "a6_group_concat",
+    """
+    SELECT n_nationkey, string_agg(s_name, ',' ORDER BY s_suppkey) AS suppliers
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def a6_group_concat(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    j = n.join(s, n.n_nationkey == s.s_nationkey)
+    return j.groupBy("n_nationkey").agg(
+        F.concat_ws(
+            ",",
+            F.expr(
+                "transform(array_sort(collect_list(struct(s_suppkey, s_name))), x -> x.s_name)"
+            ),
+        ).alias("suppliers")
+    )
+
+
+# Q12 chunked batch requests (ref jingxi_category_sales.py:112-118):
+# row_number → ⌊/15⌋ chunks → comma-joined id batches.
+@register(
+    "q12_chunked_batch",
+    """
+    WITH ranked AS (
+      SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) AS rn FROM supplier
+    )
+    SELECT CAST((rn - 1) // 15 AS BIGINT) AS chunk,
+           string_agg(CAST(s_suppkey AS VARCHAR), ',' ORDER BY s_suppkey) AS id_batch,
+           COUNT(*) AS n_ids
+    FROM ranked GROUP BY 1
+    """,
+)
+def q12_chunked_batch(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_suppkey")
+    ranked = s.select("s_suppkey", F.row_number().over(w).alias("rn"))
+    return ranked.groupBy(
+        F.expr("cast((rn - 1) div 15 as bigint)").alias("chunk")
+    ).agg(
+        F.concat_ws(
+            ",",
+            F.expr(
+                "transform(array_sort(collect_list(s_suppkey)), x -> cast(x as string))"
+            ),
+        ).alias("id_batch"),
+        F.count("*").alias("n_ids"),
+    )
+
+
+_POP_PRIO = "(6 - CAST(substr(o_orderpriority, 1, 1) AS INT))"
+
+
+# Q2 the pop operator (north rule: priority DESC, exetime ASC, key ASC),
+# per-host budget 3 (o_custkey ≙ host; ref semaphore common/spider.py:44).
+@register(
+    "q2_priority_pop",
+    f"""
+    WITH ranked AS (
+      SELECT o_orderkey, o_custkey, {_POP_PRIO} AS priority,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY {_POP_PRIO} DESC, o_orderdate ASC, o_orderkey ASC
+             ) AS hrank
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, CAST(priority AS INT) AS priority, CAST(hrank AS INT) AS hrank
+    FROM ranked WHERE hrank <= 3
+    """,
+)
+def q2_priority_pop(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    prio = F.expr("6 - cast(substr(o_orderpriority, 1, 1) as int)")
+    w = Window.partitionBy("o_custkey").orderBy(
+        prio.desc(), F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("priority", prio)
+        .withColumn("hrank", F.row_number().over(w))
+        .filter(F.col("hrank") <= 3)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("priority").cast("int").alias("priority"),
+            F.col("hrank").cast("int").alias("hrank"),
+        )
+    )
+
+
+# Q3 global pop budget on top of the per-host cap (ref spop count=1000).
+@register(
+    "q3_global_budget",
+    f"""
+    WITH ranked AS (
+      SELECT o_orderkey, o_custkey, {_POP_PRIO} AS priority, o_orderdate,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY {_POP_PRIO} DESC, o_orderdate ASC, o_orderkey ASC
+             ) AS hrank
+      FROM orders
+    ),
+    popped AS (
+      SELECT *, row_number() OVER (
+               ORDER BY priority DESC, o_orderdate ASC, o_orderkey ASC
+             ) AS grank
+      FROM ranked WHERE hrank <= 2
+    )
+    SELECT o_orderkey, o_custkey, CAST(priority AS INT) AS priority, CAST(grank AS INT) AS grank
+    FROM popped WHERE grank <= 100
+    """,
+)
+def q3_global_budget(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    prio = F.expr("6 - cast(substr(o_orderpriority, 1, 1) as int)")
+    w_host = Window.partitionBy("o_custkey").orderBy(
+        prio.desc(), F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    w_glob = Window.orderBy(
+        F.desc("priority"), F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("priority", prio)
+        .withColumn("hrank", F.row_number().over(w_host))
+        .filter(F.col("hrank") <= 2)
+        .withColumn("grank", F.row_number().over(w_glob))
+        .filter(F.col("grank") <= 100)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("priority").cast("int").alias("priority"),
+            F.col("grank").cast("int").alias("grank"),
+        )
+    )
+
+
+# Q5 retry budget classification (ref common/spider.py:133-163).
+@register(
+    "q5_retry_budget",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_err,
+           (COUNT(*) FILTER (WHERE event_type = 'error')) >= 3 AS exhausted
+    FROM events GROUP BY user_id
+    """,
+)
+def q5_retry_budget(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    n_err = F.count(F.when(F.col("event_type") == "error", 1))
+    return ev.groupBy("user_id").agg(
+        n_err.alias("n_err"), (n_err >= 3).alias("exhausted")
+    )
+
+
+# Q7/J3 seen-set anti-join (ref set()/SADD dedup).
+@register(
+    "q7_seen_antijoin",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q7_seen_antijoin(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_anti"
+    ).select("c_custkey")
+
+
+# O3 order-preserving unique, first wins (ref utils/tools.py:23-33).
+@register(
+    "o3_first_wins_dedup",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+    FROM r WHERE rn = 1
+    """,
+)
+def o3_first_wins_dedup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("event_type").alias("first_event_type"),
+        )
+    )
+
+
+# S8 keyed upsert, last write wins (ref HSET crawl_goods_list.py:92-96).
+@register(
+    "s8_last_wins_upsert",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def s8_last_wins_upsert(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# J1 broadcast enrichment join (ref jingxi_category_sales.py:130-134).
+@register(
+    "j1_broadcast_enrich",
+    """
+    SELECT p_brand,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def j1_broadcast_enrich(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.groupBy("p_brand").agg(
+        F.sum(
+            F.expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+        ).alias("revenue_cents"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# J2 cache-aside memo join (ref app/api/jingxi.py:16-28): cache = latest
+# 'view' event per user; customers probe it, misses surface as NULL→-1.
+@register(
+    "j2_cache_aside",
+    """
+    WITH cache AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT c_custkey,
+           (cache.user_id IS NOT NULL) AS cache_hit,
+           coalesce(cache.value, -1.0) AS cached_value
+    FROM customer LEFT JOIN (SELECT user_id, value FROM cache WHERE rn = 1) cache
+      ON c_custkey = cache.user_id
+    """,
+)
+def j2_cache_aside(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    cache = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "value")
+    )
+    j = c.join(F.broadcast(cache), c.c_custkey == cache.user_id, "left_outer")
+    return j.select(
+        "c_custkey",
+        F.col("user_id").isNotNull().alias("cache_hit"),
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("cached_value"),
+    )
+
+
+# J4/Q11 cartesian seed expansion (ref itertools.product find_goods.py:54).
+@register(
+    "j4_cross_expansion",
+    """
+    SELECT n_nationkey, page
+    FROM nation CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS page) p
+    """,
+)
+def j4_cross_expansion(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    pages = spark.range(1, 4).select(F.col("id").cast("long").alias("page"))
+    return n.crossJoin(pages).select("n_nationkey", "page")
+
+
+# O2/O5 deterministic top-k (ref page caps + spop batches).
+@register(
+    "o2_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def o2_topk_orders(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# P1/P4 JSON path extraction (ref find_goods.py:72) on events.props.
+@register(
+    "p1_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def p1_json_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k")
+    )
+
+
+# P12 URL templating from counters (ref example.py:57-59).
+@register(
+    "p12_url_template",
+    """
+    SELECT p_partkey,
+           printf('https://host%d.example/detail/%d?brand=%s', p_partkey % 10, p_partkey, p_brand) AS url
+    FROM part
+    """,
+)
+def p12_url_template(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string(
+            "https://host%d.example/detail/%d?brand=%s",
+            F.expr("p_partkey % 10"),
+            F.col("p_partkey"),
+            F.col("p_brand"),
+        ).alias("url"),
+    )
+
+
+# P17 canonicalization (host lowercase + fragment strip), regex-only so the
+# oracle mirrors it; the engine's full canonicalizer is canon.py.
+@register(
+    "p17_canonical_host",
+    """
+    WITH urls AS (
+      SELECT printf('HTTPS://Host%d.Example/part/%d#frag', p_partkey % 7, p_partkey) AS url
+      FROM part
+    )
+    SELECT lower(regexp_extract(url, '^[a-zA-Z]+://([^/#]+)', 1)) AS host,
+           COUNT(*) AS n_urls
+    FROM urls GROUP BY 1
+    """,
+)
+def p17_canonical_host(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    urls = p.select(
+        F.format_string(
+            "HTTPS://Host%d.Example/part/%d#frag",
+            F.expr("p_partkey % 7"),
+            F.col("p_partkey"),
+        ).alias("url")
+    )
+    return urls.groupBy(
+        F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/#]+)", 1)).alias("host")
+    ).agg(F.count("*").alias("n_urls"))
+
+
+# Q10 pagination cap (ref crawl_billboard_id.py:98-99): pages over the cap
+# are dropped, counted per group.
+@register(
+    "q10_pagination_cap",
+    """
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE l_linenumber <= 4) AS n_kept,
+           COUNT(*) FILTER (WHERE l_linenumber > 4) AS n_dropped
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q10_pagination_cap(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.when(F.col("l_linenumber") <= 4, 1)).alias("n_kept"),
+        F.count(F.when(F.col("l_linenumber") > 4, 1)).alias("n_dropped"),
+    )
+
+
+# Q14 salted repartition key distribution (north rule skew kill).
+@register(
+    "q14_salt_distribution",
+    """
+    SELECT CAST(o_orderkey % 16 AS BIGINT) AS salt, COUNT(*) AS n_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def q14_salt_distribution(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.expr("cast(o_orderkey % 16 as bigint)").alias("salt")
+    ).agg(F.count("*").alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# family 2: training-data operators over documents/embeddings
+# --------------------------------------------------------------------------
+
+_TOKS_DUCK = D.TOKENS_DUCK
+
+
+@register(
+    "t_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len({_TOKS_DUCK}) END AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len({_TOKS_DUCK}) END
+                + len(regexp_extract_all(text, '[a-zA-Z][0-9]|[0-9][a-zA-Z]')) AS BIGINT) AS n_subwords
+    FROM documents
+    """,
+)
+def t_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        X.bpe_ish_token_count(F.col("text")).alias("n_subwords"),
+    )
+
+
+def _quality_duck() -> str:
+    stop_list = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS) + "]"
+    toks = _TOKS_DUCK
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {toks} AS toks,
+             CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_tok
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(n_tok AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+      CAST(floor(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 10000.0 / greatest(len(text), 1)) AS BIGINT) AS alpha_bp,
+      CAST(floor(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10000.0 / greatest(len(text), 1)) AS BIGINT) AS punct_bp,
+      CAST(floor(len(list_filter(toks, x -> list_contains({stop_list}, x))) * 10000.0 / greatest(n_tok, 1)) AS BIGINT) AS stopword_bp,
+      CAST(floor((len(text) - n_tok + 1) * 10000.0 / greatest(n_tok, 1)) AS BIGINT) AS mean_token_len_bp,
+      CAST(least(n_tok, 40)
+           + CAST(least(floor(floor(len(list_filter(toks, x -> list_contains({stop_list}, x))) * 10000.0 / greatest(n_tok, 1)) / 100), 30) AS BIGINT)
+           + CAST(least(floor(floor(len(list_distinct(toks)) * 10000.0 / greatest(n_tok, 1)) / 200), 30) AS BIGINT)
+        AS BIGINT) AS quality
+    FROM t
+    """
+
+
+@register("t_quality_score", None)  # sql attached below (needs helper)
+def t_quality_score(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    q = X.quality_columns(text)
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in q.items()],
+        X.quality_score(q).alias("quality"),
+    )
+
+
+REGISTRY["t_quality_score"].sql = _quality_duck()
+
+
+def _langid_duck() -> str:
+    counts = []
+    for lang, ws in X.LANG_MARKERS:
+        lst = "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+        counts.append(
+            f"len(list_filter({_TOKS_DUCK}, x -> list_contains({lst}, x))) AS c_{lang}"
+        )
+    langs = [lang for lang, _ in X.LANG_MARKERS]
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    case = "'und'"
+    for lg in reversed(langs):
+        case = f"CASE WHEN best > 0 AND c_{lg} = best THEN '{lg}' ELSE {case} END"
+    return f"""
+    WITH c AS (SELECT doc_id, lang, {', '.join(counts)} FROM documents),
+    b AS (SELECT *, {best} AS best FROM c)
+    SELECT doc_id, {case} AS lang_guess, ({case}) = lang AS matches_label
+    FROM b
+    """
+
+
+@register("t_langid", None)
+def t_langid(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    guess = X.langid_guess(F.col("text"))
+    return docs.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).alias("matches_label"),
+    )
+
+
+REGISTRY["t_langid"].sql = _langid_duck()
+
+
+@register(
+    "t_fingerprint",
+    r"""
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def t_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "d_exact_dedup",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def d_exact_dedup(spark, sf_dir):
+    return D.exact_dedup_keep_first(load(spark, sf_dir, "documents"))
+
+
+def _minhash_cte() -> str:
+    """Shared DuckDB CTE producing (doc_id, shingles, mh0.., band0..)."""
+    sh = D._shingle_duck(_TOKS_DUCK, D.SHINGLE_K)
+    mh_cols = []
+    for i in range(D.N_MINHASH):
+        seeded = f"'{i}:' || h::VARCHAR"
+        mh_cols.append(
+            f"list_min(list_transform(shingles, h -> {D.h32_duck(seeded)})) AS mh{i}"
+        )
+    band_cols = []
+    for b in range(D.N_BANDS):
+        parts = ", ".join(
+            f"CAST(mh{b * D.ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(D.ROWS_PER_BAND)
+        )
+        band_cols.append(f"md5(concat_ws(':', '{b}', {parts})) AS band{b}")
+    return f"""
+    sh AS (
+      SELECT doc_id, {sh} AS shingles FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, shingles, {', '.join(mh_cols)}
+      FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+      SELECT doc_id, shingles, {', '.join(band_cols)} FROM sigs
+    )
+    """
+
+
+@register("d_minhash_sig", None)
+def d_minhash_sig(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs)
+    return sig.select("doc_id", *[f"mh{i}" for i in range(D.N_MINHASH)])
+
+
+REGISTRY["d_minhash_sig"].sql = f"""
+    WITH {_minhash_cte()}
+    SELECT doc_id, {', '.join(f'mh{i}' for i in range(D.N_MINHASH))} FROM sigs
+    """
+
+
+@register("d_minhash_pairs", None)
+def d_minhash_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_near_dups(docs, threshold_bp=4000)
+
+
+REGISTRY["d_minhash_pairs"].sql = f"""
+    WITH {_minhash_cte()},
+    bx AS (
+      SELECT doc_id, shingles, unnest([{', '.join(f'band{b}' for b in range(D.N_BANDS))}]) AS band_key
+      FROM bands
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bx l JOIN bx r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           {D.jaccard_bp_duck('sa.shingles', 'sb.shingles')} AS jaccard_bp
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE {D.jaccard_bp_duck('sa.shingles', 'sb.shingles')} >= 4000
+    """
+
+
+@register("d_ngram_jaccard", None)
+def d_ngram_jaccard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold_bp=500)
+
+
+REGISTRY["d_ngram_jaccard"].sql = f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {D._shingle_duck(_TOKS_DUCK, D.NGRAM_K)} AS shingles
+      FROM documents
+    ),
+    nz AS (SELECT * FROM sh WHERE len(shingles) > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {D.jaccard_bp_duck('a.shingles', 'b.shingles')} AS jaccard_bp
+    FROM nz a JOIN nz b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE {D.jaccard_bp_duck('a.shingles', 'b.shingles')} >= 500
+    """
+
+
+def _simhash_cte() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    tok AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents),
+    th AS (SELECT doc_id, {D.h32_duck('tok')} AS h FROM tok),
+    sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+    simh AS (SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums)
+    """
+
+
+@register("d_simhash_sig", None)
+def d_simhash_sig(spark, sf_dir):
+    return D.simhash(load(spark, sf_dir, "documents"))
+
+
+REGISTRY["d_simhash_sig"].sql = f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM simh"
+
+
+@register("d_simhash_pairs", None)
+def d_simhash_pairs(spark, sf_dir):
+    return D.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=6)
+
+
+REGISTRY["d_simhash_pairs"].sql = f"""
+    WITH {_simhash_cte()},
+    bands AS (
+      SELECT doc_id, simhash,
+             unnest([{', '.join(f"concat('{b}:', CAST((simhash >> {8 * b}) & 255 AS VARCHAR))" for b in range(4))}]) AS band_key
+      FROM simh
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+    FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 6
+    """
+
+
+@register(
+    "s_dot_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid,
+             list_transform(embedding, x -> CAST(floor(x * {S.QUANT}) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < 20
+    ),
+    a AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding, x -> CAST(floor(x * {S.QUANT}) AS BIGINT)) AS av
+      FROM embeddings
+    ),
+    p AS (
+      SELECT qid, vid,
+             CAST(list_aggregate(list_transform(range(1, len(qv) + 1), i -> qv[i] * av[i]), 'sum') AS BIGINT) AS dot
+      FROM q CROSS JOIN a WHERE vid <> qid
+    ),
+    r AS (
+      SELECT qid, vid, dot,
+             row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vid ASC) AS rank
+      FROM p
+    )
+    SELECT qid, CAST(rank AS INT) AS rank, vid, dot FROM r WHERE rank <= 5
+    """,
+)
+def s_dot_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    out = S.quantized_dot_topk(emb, n_queries=20, k=5)
+    return out.select("qid", F.col("rank").cast("int").alias("rank"), "vid", "dot")
+
+
+# rows-only checked (float accumulation order is engine-specific):
+@register("s_cosine_topk", None)
+def s_cosine_topk(spark, sf_dir):
+    return S.cosine_topk(load(spark, sf_dir, "embeddings"), n_queries=20, k=5)
+
+
+@register("s_ann_lsh", None)
+def s_ann_lsh(spark, sf_dir):
+    return S.ann_lsh_topk(load(spark, sf_dir, "embeddings"), n_queries=20, k=5)
+
+
+@register("d_embed_neardup", None)
+def d_embed_neardup(spark, sf_dir):
+    return S.embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"), min_cos_bp=5000)
+
+
+@register("m_image_pipeline", None)
+def m_image_pipeline(spark, sf_dir):
+    """Multimodal plumbing: synth binary images for 40 docs → decode →
+    typed features. Not SQL-expressible (binary codec) → rows-only."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    images = M.synthesize_images(docs)
+    return M.extract_features(images).select(
+        "image_id", "w", "h", "fmt", "mean_luma_milli", "phash", "decode_ok"
+    )
+
+
+@register("crawl_roundloop", None)
+def crawl_roundloop(spark, sf_dir):
+    """The flagship non-SQL operator: a full 3-round crawl of the
+    deterministic synthetic graph (frontier pop → fetch → parse → dedup
+    → checkpoint), returning the per-round metrics table. Verified
+    in-depth against the pure-Python oracle in tests/."""
+    import tempfile
+
+    from .loop import CrawlEngine
+    from .schemas import METRICS
+    from .synth import GraphSpec
+
+    wd = tempfile.mkdtemp(prefix="crawl_q_")
+    eng = CrawlEngine(
+        spark, wd, GraphSpec(n_hosts=2, chains_per_host=2), n_seen_partitions=8
+    )
+    eng.run(max_rounds=3)
+    return eng.store.read_or_empty("metrics", METRICS)
+
+
+# --------------------------------------------------------------------------
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
