@@ -105,6 +105,7 @@ class CrawlEngine:
         self.global_budget = global_budget
         self.collect_pop_sequence = collect_pop_sequence
         self.pop_sequences: dict[int, list[str]] = {}
+        self.last_frontier_rows = 0
         self._ledger_path = os.path.join(workdir, "_manifests", "rounds.json")
 
     # ------------------------------------------------------------- ledger
@@ -183,6 +184,7 @@ class CrawlEngine:
             F.pmod(F.xxhash64("url_canon"), F.lit(scheduler.N_SALT))
             .cast("int")
             .alias("salt"),
+            F.lit(False).alias("vetted"),
         )
         self.store.overwrite("frontier", frontier)
         self._checkpoint(-1, RoundStats(round=-1), [])
@@ -194,33 +196,56 @@ class CrawlEngine:
 
         frontier = store.read_or_empty("frontier", FRONTIER)
         ready, not_ready = scheduler.split_ready(frontier, r)
-        ready = ready.persist()
         n_ready = ready.count()
         if n_ready == 0:
-            not_ready.persist().count()
             self._write_round_outputs(r, stats, None, None, None, None, not_ready)
-            ready.unpersist()
             return stats
 
-        batch = scheduler.dedup_batch(ready)
-        fresh = batch.filter(F.col("retries") == 0)
-        retry_rows = batch.filter(F.col("retries") > 0)
-        unseen = self.seen.filter_unseen(fresh)
+        # vetted rows (politeness-deferred or retry re-entries) already
+        # passed dedup+seen+robots in the round that first saw them — they
+        # bypass re-vetting so per-round work is O(new links), not
+        # O(frontier backlog).
+        vetted_rows = ready.filter(F.col("vetted"))
+        fresh_ready = ready.filter(~F.col("vetted"))
 
-        # deduped = (in-batch dups) + (seen-filtered) = ready - candidates
-        candidates = unseen.unionByName(retry_rows).persist()
-        stats.deduped = n_ready - candidates.count()
+        batch = scheduler.dedup_batch(fresh_ready)
+        unseen = self.seen.filter_unseen(batch)
+        # fresh re-discovery of a URL already queued (vetted, not yet
+        # popped→not yet in seen) is a duplicate: one anti-join drops it
+        # (previously caught by the all-rows dedup window).
+        novel = unseen.join(
+            vetted_rows.select("url_canon"), on="url_canon", how="left_anti"
+        )
         robots = store.read_or_empty("robots", ROBOTS)
-        allowed, blocked = scheduler.robots_filter(candidates, robots)
-        blocked = blocked.persist()
-        stats.robots_blocked = blocked.count()
+        marked = scheduler.robots_mark(novel, robots)
+        candidates = marked.unionByName(vetted_rows.withColumn("_blk", F.lit(False)))
 
         config = store.read_or_empty("config", CONFIG)
-        popped, deferred = scheduler.pop(allowed, config, r, self.global_budget)
-        popped = popped.persist()
-        deferred = deferred.persist()
-        stats.popped = popped.count()
-        stats.deferred_politeness = deferred.count()
+        # the whole vet+rank chain materializes exactly ONCE into this
+        # cached frame; one groupBy yields popped/deferred/blocked, and
+        # the popped/deferred splits are cache reads.
+        ranked = scheduler.rank_for_pop(
+            candidates, config, self.global_budget
+        ).persist()
+        fate = {
+            (row["_pop"], row["_blk"]): row["count"]
+            for row in ranked.groupBy("_pop", "_blk").count().collect()
+        }
+        stats.popped = int(fate.get((True, False), 0))
+        stats.deferred_politeness = int(fate.get((False, False), 0))
+        stats.robots_blocked = int(fate.get((False, True), 0))
+        # deduped = (in-batch dups) + (seen-filtered) = ready - candidates
+        # — derived, not another count job.
+        stats.deduped = n_ready - (
+            stats.popped + stats.deferred_politeness + stats.robots_blocked
+        )
+        popped = ranked.filter(F.col("_pop")).drop("_pop", "_blk")
+        deferred = (
+            ranked.filter(~F.col("_pop") & ~F.col("_blk"))
+            .drop("_pop", "_blk")
+            .withColumn("exetime", F.lit(r + 1).cast("long"))
+            .withColumn("vetted", F.lit(True))
+        )
 
         if self.collect_pop_sequence:
             seq = (
@@ -271,6 +296,7 @@ class CrawlEngine:
                 "salt",
                 F.pmod(F.xxhash64("url_canon"), F.lit(scheduler.N_SALT)).cast("int"),
             )
+            .withColumn("vetted", F.lit(True))  # retries were vetted pre-pop
             .select(*[f.name for f in FRONTIER.fields])
         )
 
@@ -283,7 +309,7 @@ class CrawlEngine:
 
         self._write_round_outputs(r, stats, popped, items, api_items, images, frontier_after)
 
-        for df in (ready, candidates, blocked, popped, deferred, results, ok, requeue, parsed_api, new_rows):
+        for df in (ranked, results, ok, requeue, parsed_api, new_rows):
             df.unpersist()
         return stats
 
@@ -293,13 +319,18 @@ class CrawlEngine:
         canon = links.withColumn("url_canon", canonicalize_udf("url")).withColumn(
             "host", host_of(F.col("url_canon"))
         )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("url_canon").orderBy(F.asc("parent"))
-        canon = (
-            canon.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        # first parent wins, via map-side-combinable min_by (see
+        # scheduler.dedup_batch for why this beats a row_number window)
+        canon = canon.groupBy("url_canon").agg(
+            F.min_by(
+                F.struct(F.col("url"), F.col("parent"), F.col("host")),
+                F.struct(F.col("parent"), F.col("url")),
+            ).alias("_b")
+        ).select(
+            "url_canon",
+            F.col("_b.url").alias("url"),
+            F.col("_b.parent").alias("parent"),
+            F.col("_b.host").alias("host"),
         )
         return canon.select(
             "url",
@@ -316,28 +347,30 @@ class CrawlEngine:
             F.pmod(F.xxhash64("url_canon"), F.lit(scheduler.N_SALT))
             .cast("int")
             .alias("salt"),
+            F.lit(False).alias("vetted"),
         )
 
     def _write_round_outputs(
         self, r, stats, popped, items, api_items, images, frontier_after
     ) -> None:
+        """Write all round outputs; every counter after the writes comes
+        from parquet-footer metadata (manifest statistics), not from
+        extra Spark count jobs — the per-round fixed cost is writes only."""
         store = self.store
         if popped is not None:
             first_pops = popped.filter(F.col("retries") == 0)
-            self.seen.add(first_pops, r)
+            self.seen.add(first_pops, r, assume_new=True)
         if items is not None:
-            items_df = items.persist()
-            stats.items_emitted = items_df.count()
-            store.append("items", items_df.select(*[f.name for f in ITEMS.fields]))
+            store.append("items", items.select(*[f.name for f in ITEMS.fields]))
+            stats.items_emitted = store.last_append_rows("items")
         if api_items is not None:
-            api_df = api_items.persist()
-            stats.items_emitted += api_df.count()
-            store.append("api_items", api_df.select(*[f.name for f in API_ITEMS.fields]))
+            store.append("api_items", api_items.select(*[f.name for f in API_ITEMS.fields]))
+            stats.items_emitted += store.last_append_rows("api_items")
         if images is not None:
-            img_df = images.persist()
-            stats.images_landed = img_df.count()
-            store.append("images", img_df.select(*[f.name for f in IMAGES.fields]))
+            store.append("images", images.select(*[f.name for f in IMAGES.fields]))
+            stats.images_landed = store.last_append_rows("images")
         store.overwrite("frontier", frontier_after.select(*[f.name for f in FRONTIER.fields]))
+        self.last_frontier_rows = store.count_rows("frontier")
 
         metrics_row = self.spark.createDataFrame([stats.__dict__], METRICS)
         store.append("metrics", metrics_row)
@@ -346,16 +379,13 @@ class CrawlEngine:
         self._checkpoint(r, stats, lineage)
 
     def _partition_lineage(self, r: int) -> list[dict]:
-        """Per-partition row counts of the frontier-after state (north
-        rule: checkpoint carries per-partition lineage)."""
-        df = self.store.read_or_empty("frontier", FRONTIER)
-        counts = (
-            df.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .orderBy("pid")
-            .collect()
-        )
-        return [{"round": r, "partition": int(x.pid), "rows": int(x["count"])} for x in counts]
+        """Per-write-partition row counts of the frontier-after state
+        (north rule: checkpoint carries per-partition lineage) — read
+        from parquet footers, one entry per data file."""
+        return [
+            {"round": r, "file": os.path.basename(f), "rows": int(n)}
+            for f, n in self.store.file_rows("frontier")
+        ]
 
     # ---------------------------------------------------------------- run
     def run(self, max_rounds: int = 10, resume: bool = False) -> list[RoundStats]:
@@ -368,11 +398,11 @@ class CrawlEngine:
         else:
             self.bootstrap()
             start = 0
+        self.last_frontier_rows = self.store.count_rows("frontier")
         all_stats = []
         for r in range(start, max_rounds):
             stats = self.run_round(r)
             all_stats.append(stats)
-            frontier = self.store.read_or_empty("frontier", FRONTIER)
-            if frontier.limit(1).count() == 0:
+            if self.last_frontier_rows == 0:  # footer metadata, no job
                 break
         return all_stats

@@ -52,23 +52,30 @@ def split_ready(frontier: DataFrame, round_no: int):
 
 def dedup_batch(ready: DataFrame) -> DataFrame:
     """One row per url_canon within the batch: keep the best by
-    (priority desc, exetime asc, retries desc, round_added asc).
-    retries desc so an in-flight retry beats a fresh re-discovery of the
-    same URL (the re-discovery would be seen-filtered anyway)."""
-    w = Window.partitionBy("url_canon").orderBy(
-        F.col("priority").desc(),
-        F.col("exetime").asc(),
-        F.col("retries").desc(),
-        F.col("round_added").asc(),
-        F.col("stage").asc(),
-        F.col("url").asc(),  # total order even for canonical-equivalent dups
-        F.col("lineage").asc_nulls_first(),
+    (priority desc, exetime asc, retries desc, round_added asc, stage,
+    url, lineage nulls-first). retries desc so an in-flight retry beats
+    a fresh re-discovery of the same URL.
+
+    Implemented as min_by over a sortable key struct rather than a
+    row_number window: groupBy partial-aggregates map-side (one
+    survivor per key per input partition crosses the shuffle) and skips
+    the window's per-partition sort — the window variant does neither.
+    Ties on the full key are byte-identical rows, so min_by's arbitrary
+    pick is still deterministic."""
+    key = F.struct(
+        (-F.col("priority")).alias("k1"),
+        F.col("exetime").alias("k2"),
+        (-F.col("retries")).alias("k3"),
+        F.col("round_added").alias("k4"),
+        F.col("stage").alias("k5"),
+        F.col("url").alias("k6"),
+        F.coalesce(F.col("lineage"), F.lit("")).alias("k7"),  # ≙ nulls first
     )
-    return (
-        ready.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    others = [c for c in ready.columns if c != "url_canon"]
+    best = ready.groupBy("url_canon").agg(
+        F.min_by(F.struct(*others), key).alias("_b")
     )
+    return best.select("url_canon", *[F.col(f"_b.{c}").alias(c) for c in others])
 
 
 def robots_filter(ready: DataFrame, robots: DataFrame):
@@ -76,6 +83,16 @@ def robots_filter(ready: DataFrame, robots: DataFrame):
     small dim → broadcast; prefix match via startswith. Returns
     (allowed, blocked_count_df). North-rule addition (absent in the
     reference)."""
+    marked = robots_mark(ready, robots)
+    allowed = marked.filter(~F.col("_blk")).drop("_blk")
+    blocked = marked.filter(F.col("_blk")).drop("_blk")
+    return allowed, blocked
+
+
+def robots_mark(ready: DataFrame, robots: DataFrame) -> DataFrame:
+    """Add a ``_blk`` flag instead of splitting — lets the caller carry
+    blocked rows through the pop ranking (sorted last, never popped) so
+    one materialization serves the popped/deferred/blocked counters."""
     dis = robots.filter(~F.col("allow")).select(
         F.col("host").alias("_rhost"), F.col("path_prefix").alias("_rpfx")
     )
@@ -85,22 +102,25 @@ def robots_filter(ready: DataFrame, robots: DataFrame):
         (F.col("host") == F.col("_rhost")) & path.startswith(F.col("_rpfx")),
         "left_outer",
     )
-    allowed = joined.filter(F.col("_rhost").isNull()).drop("_rhost", "_rpfx")
-    blocked = joined.filter(F.col("_rhost").isNotNull()).drop("_rhost", "_rpfx")
-    return allowed, blocked
+    return joined.withColumn("_blk", F.col("_rhost").isNotNull()).drop(
+        "_rhost", "_rpfx"
+    )
 
 
-def pop(
+def rank_for_pop(
     ready: DataFrame,
     config: DataFrame,
-    round_no: int,
     global_budget: int | None = None,
-):
-    """Two-level budgeted pop. Returns (popped, deferred) where deferred
-    rows carry exetime = round_no + 1.
+) -> DataFrame:
+    """Two-level budgeted pop decision as ONE ranked DataFrame with a
+    boolean ``_pop`` column — so the caller persists a single frame and
+    both the popped and deferred splits read the cache (the windows run
+    once, not once per split).
 
     Plan: broadcast-join config → salted pre-rank (host, salt) →
-    exact per-host rank → global rank. All whole-stage-codegen windows.
+    exact per-host rank (salt-survivors sort first, so their rank within
+    the host is unaffected by the losers ranked after them) → optional
+    global rank. All whole-stage-codegen windows.
     """
     budgets = F.broadcast(
         config.select(
@@ -112,40 +132,56 @@ def pop(
     )
     df = df.withColumn("_budget", F.coalesce(F.col("_budget"), F.lit(DEFAULT_BUDGET)))
     df = with_salt(df)
+    # rows carrying a truthy `_blk` column (robots-blocked) sort last in
+    # every window, never occupy a budget slot, and never set _pop —
+    # they ride along purely so the caller counts them from this frame.
+    blk = F.col("_blk") if "_blk" in df.columns else F.lit(False)
 
     # Stage 1 (skew kill): cap each (host, salt) bucket at the host budget.
-    w_salt = Window.partitionBy("host", "salt").orderBy(*pop_order())
+    w_salt = Window.partitionBy("host", "salt").orderBy(
+        blk.cast("int").asc(), *pop_order()
+    )
     df = df.withColumn("_srn", F.row_number().over(w_salt))
-    survivors = df.filter(F.col("_srn") <= F.col("_budget"))
-    salt_overflow = df.filter(F.col("_srn") > F.col("_budget"))
+    salt_ok = ~blk & (F.col("_srn") <= F.col("_budget"))
 
-    # Stage 2: exact per-host rank on the capped set (≤ N_SALT x budget rows/host).
-    w_host = Window.partitionBy("host").orderBy(*pop_order())
-    survivors = survivors.withColumn("_hrn", F.row_number().over(w_host))
-    in_budget = survivors.filter(F.col("_hrn") <= F.col("_budget"))
-    host_overflow = survivors.filter(F.col("_hrn") > F.col("_budget"))
+    # Stage 2: exact per-host rank; salt-survivors order first so their
+    # relative rank equals the rank they'd get ranked alone.
+    w_host = Window.partitionBy("host").orderBy(
+        salt_ok.cast("int").desc(), *pop_order()
+    )
+    df = df.withColumn("_hrn", F.row_number().over(w_host))
+    host_ok = salt_ok & (F.col("_hrn") <= F.col("_budget"))
 
-    # Stage 3: global cap (ref spop count=1000).
+    # Stage 3: global cap (ref spop count=1000), same first-sort trick.
     if global_budget is not None:
-        w_glob = Window.orderBy(*pop_order())  # single-partition window on ≤ Σ budgets rows
-        in_budget = in_budget.withColumn("_grn", F.row_number().over(w_glob))
-        popped = in_budget.filter(F.col("_grn") <= F.lit(global_budget))
-        glob_overflow = in_budget.filter(F.col("_grn") > F.lit(global_budget))
+        w_glob = Window.orderBy(host_ok.cast("int").desc(), *pop_order())
+        df = df.withColumn("_grn", F.row_number().over(w_glob))
+        pop_flag = host_ok & (F.col("_grn") <= F.lit(global_budget))
     else:
-        popped = in_budget.withColumn("_grn", F.lit(None).cast("int"))
-        glob_overflow = in_budget.filter(F.lit(False)).withColumn(
-            "_grn", F.lit(None).cast("int")
-        )
+        pop_flag = host_ok
+    return df.withColumn("_pop", pop_flag).drop(
+        *[c for c in ("_budget", "_srn", "_hrn", "_grn") if c in df.columns]
+    )
 
-    aux = ["_budget", "_srn", "_hrn", "_grn"]
-    popped = popped.drop(*aux)
+
+def pop(
+    ready: DataFrame,
+    config: DataFrame,
+    round_no: int,
+    global_budget: int | None = None,
+    ranked: DataFrame | None = None,
+):
+    """Split a ranked frame (see :func:`rank_for_pop`) into
+    (popped, deferred); deferred rows carry exetime = round_no + 1 and
+    vetted = true (they skip re-vetting on re-entry)."""
+    if ranked is None:
+        ranked = rank_for_pop(ready, config, global_budget)
+    popped = ranked.filter(F.col("_pop")).drop("_pop")
     deferred = (
-        salt_overflow.withColumn("_hrn", F.lit(None).cast("int"))
-        .withColumn("_grn", F.lit(None).cast("int"))
-        .unionByName(host_overflow.withColumn("_grn", F.lit(None).cast("int")))
-        .unionByName(glob_overflow)
-        .drop(*aux)
+        ranked.filter(~F.col("_pop"))
+        .drop("_pop")
         .withColumn("exetime", F.lit(round_no + 1).cast("long"))
+        .withColumn("vetted", F.lit(True))
     )
     return popped, deferred
 

@@ -29,6 +29,11 @@ FRONTIER = T.StructType(
         T.StructField("round_added", T.IntegerType(), False),
         T.StructField("lineage", T.StringType(), True),
         T.StructField("salt", T.IntegerType(), True),
+        # vetted=true → row already passed dedup+seen+robots in an earlier
+        # round (politeness deferral or retry); it re-enters at the pop
+        # ranking directly. Keeps per-round work O(new links), not
+        # O(backlog).
+        T.StructField("vetted", T.BooleanType(), False),
     ]
 )
 

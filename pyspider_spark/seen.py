@@ -42,20 +42,11 @@ N_HASHES = 5
 
 
 def partition_id_col(url_canon, n_partitions: int):
-    """JVM-side partition id must equal the Python-side h64 — so we use a
-    pandas UDF wrapper around h64 rather than xxhash64 (JVM) to keep the
-    oracle/engine/bloom all on one hash. Arrow-batched."""
-    return _pid_udf(n_partitions)(url_canon)
-
-
-def _pid_udf(n_partitions: int):
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.IntegerType())
-    def pid(urls: pd.Series) -> pd.Series:
-        return urls.map(lambda u: h64("pid", u) % n_partitions).astype("int32")
-
-    return pid
+    """Partition id for the URL space — JVM-side xxhash64 (codegen, no
+    Python). It only routes URLs to their bloom blob / seen partition;
+    the bloom membership hashes (bf1/bf2 below) are independent of it,
+    so it does not need to match the Python-side h64."""
+    return F.pmod(F.xxhash64(url_canon), F.lit(n_partitions)).cast("int")
 
 
 def _bloom_positions(url: str, n_bits: int) -> list[int]:
@@ -134,48 +125,68 @@ class SeenSet:
             )
 
         filters = self.store.read_or_empty("seen_filters", SEEN_FILTERS)
-        cands = candidates.withColumn("_pid", partition_id_col(F.col(url_col), self.P))
+        # Only (url, pid) go through the Python cogroup: Arrow serde of
+        # the full frontier row (map + many strings) costs more than the
+        # bloom probe itself and does not parallelize well.
+        slim = candidates.select(F.col(url_col).alias("_u")).withColumn(
+            "_pid", partition_id_col(F.col("_u"), self.P)
+        )
 
         n_bits = self.n_bits
-        cand_schema = cands.schema
 
         def flag(cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
             if len(cand_pdf) == 0:
-                return cand_pdf.assign(_maybe=pd.Series([], dtype=bool))
+                return pd.DataFrame({"_u": pd.Series([], dtype=object)})
             blob = None
             if len(filt_pdf) > 0:
                 blob = bloom_merge(list(filt_pdf["filter"]), n_bits)
-            maybe = bloom_maybe_contains(cand_pdf[url_col], blob, n_bits)
-            return cand_pdf.assign(_maybe=maybe)
+            maybe = bloom_maybe_contains(cand_pdf["_u"], blob, n_bits)
+            return pd.DataFrame({"_u": cand_pdf["_u"][maybe]})
 
         from pyspark.sql import types as T
 
-        out_schema = T.StructType(
-            list(cand_schema.fields) + [T.StructField("_maybe", T.BooleanType())]
-        )
-        flagged = (
-            cands.groupBy("_pid")
+        maybe_urls = (
+            slim.groupBy("_pid")
             .cogroup(filters.withColumnRenamed("partition_id", "_pid").groupBy("_pid"))
-            .applyInPandas(flag, schema=out_schema)
+            .applyInPandas(
+                flag, schema=T.StructType([T.StructField("_u", T.StringType())])
+            )
         )
-        definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe", "_pid")
-        maybe_seen = flagged.filter(F.col("_maybe")).drop("_maybe", "_pid")
-        survivors = maybe_seen.join(
-            seen.select("url_canon").withColumnRenamed("url_canon", url_col),
-            on=url_col,
-            how="left_anti",
+        # exact membership check only for bloom-maybe URLs; candidates
+        # drop only on a confirmed hit. One slim semi-join + one anti-join.
+        hits = maybe_urls.join(
+            seen.select(F.col("url_canon").alias("_u")), on="_u", how="left_semi"
         )
-        return definite_new.unionByName(survivors)
+        return candidates.join(
+            hits.withColumnRenamed("_u", url_col), on=url_col, how="left_anti"
+        )
 
-    def add(self, urls: DataFrame, round_no: int, url_col: str = "url_canon") -> None:
-        """Insert-if-absent (Redis SADD analogue) + merge bloom blobs."""
+    def add(
+        self,
+        urls: DataFrame,
+        round_no: int,
+        url_col: str = "url_canon",
+        assume_new: bool = False,
+    ) -> None:
+        """Insert-if-absent (Redis SADD analogue) + merge bloom blobs.
+
+        ``assume_new=True`` skips the exact anti-join against the full
+        seen table (a whole-table scan + shuffle per round). Safe when
+        the caller guarantees the rows are unseen — true for the crawl
+        loop: first-pops already passed filter_unseen, and resume rolls
+        table pointers back to the last complete round, so a replayed
+        half-round can never double-append (its orphan dir is
+        unreachable from the restored snapshot)."""
         rows = (
             urls.select(F.col(url_col).alias("url_canon"))
             .dropDuplicates(["url_canon"])
             .withColumn("first_round", F.lit(round_no).cast("int"))
             .withColumn("partition_id", partition_id_col(F.col("url_canon"), self.P))
         )
-        self.store.merge_insert_if_absent("seen", rows, "url_canon", SEEN)
+        if assume_new:
+            self.store.append("seen", rows.select(*[f.name for f in SEEN.fields]))
+        else:
+            self.store.merge_insert_if_absent("seen", rows, "url_canon", SEEN)
         if self.use_bloom:
             n_bits = self.n_bits
 

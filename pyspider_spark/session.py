@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # shuffle/spill scratch on tmpfs: local-mode shuffles serialize on
+        # disk I/O otherwise, hiding CPU scaling (cluster analogue: NVMe
+        # scratch or remote shuffle service)
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -36,9 +36,30 @@ import os
 import shutil
 import uuid
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
+
+
+def parquet_file_rows(dirs: list[str]) -> list[tuple[str, int]]:
+    """(file, num_rows) for every parquet file under dirs — read from the
+    footers only (driver-side metadata op, no Spark job). This is the
+    Iceberg-manifest-statistics analogue: counters come from file
+    metadata, not from re-scanning data."""
+    out = []
+    for d in dirs:
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                p = os.path.join(d, f)
+                out.append((p, pq.ParquetFile(p).metadata.num_rows))
+    return out
+
+
+def parquet_rows(dirs: list[str]) -> int:
+    return sum(n for _, n in parquet_file_rows(dirs))
 
 
 class TableStore:
@@ -137,6 +158,29 @@ class TableStore:
         existing = self.read_or_empty(name, schema)
         fresh = df.dropDuplicates([key]).join(existing.select(key), on=key, how="left_anti")
         return self.append(name, fresh)
+
+    def count_rows(self, name: str) -> int:
+        """Row count of the current snapshot from parquet footers only —
+        no Spark job (manifest-statistics read)."""
+        m = self._load_manifest(name)
+        snap = self._snapshot(m, None)
+        return parquet_rows(snap["dirs"]) if snap else 0
+
+    def file_rows(self, name: str) -> list[tuple[str, int]]:
+        """(file, rows) of the current snapshot from footers (per-file ≙
+        per-write-partition lineage)."""
+        m = self._load_manifest(name)
+        snap = self._snapshot(m, None)
+        return parquet_file_rows(snap["dirs"]) if snap else []
+
+    def last_append_rows(self, name: str) -> int:
+        """Rows landed by the most recent append/overwrite (its data dir
+        is the last in the current snapshot's dir list)."""
+        m = self._load_manifest(name)
+        snap = self._snapshot(m, None)
+        if not snap or not snap["dirs"]:
+            return 0
+        return parquet_rows([snap["dirs"][-1]])
 
     def rollback(self, name: str, snapshot_id: int | None) -> None:
         """Point the table back at an earlier snapshot (resume path)."""

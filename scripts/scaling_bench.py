@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json: efficiency ≥ 0.8
+from N to 4N executors).
+
+No real cluster exists in this sandbox, so per the protocol in
+BASELINE.md the SAME job runs on the SAME input at two local
+parallelism levels — local[8] (N) and local[32] (4N) — each in a fresh
+JVM (local-mode core count is fixed at session creation). Reports
+throughput at both plus ``efficiency = (T_N / T_4N) / 4``.
+
+The job is the north-rule metric's shape: one full engine round over a
+GIANT synthetic frontier (default 20M rows, lazily generated from
+spark.range — never materialized driver-side, exactly how a 10^10-row
+frontier must be handled): budgeted priority pop over ~50k hosts →
+fetch of the ~1M in-budget URLs (detail pages + image payloads) → item
+extraction + image materialization → seen-set insert + bloom build →
+frontier rewrite with deferral. Half the frontier enters unvetted so
+the dedup/bloom path is inside the measured window too.
+
+Usage:
+    python scripts/scaling_bench.py                 # both levels → JSON
+    python scripts/scaling_bench.py --cores N       # one level
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FRONTIER_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_FRONTIER", "20000000"))
+N_HOSTS = int(os.environ.get("SPARK_GRAFT_SCALING_HOSTS", "50000"))
+
+
+def build_frontier(spark, n_rows: int, n_hosts: int):
+    """Lazily-generated frontier: hash-derived columns over spark.range
+    (the 10^10-scale pattern — O(1) driver memory). 80% detail pages,
+    20% image fetches; 50% pre-vetted, 50% through the dedup path."""
+    from pyspark.sql import functions as F
+
+    kind = F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5))
+    host = F.format_string("host%d.example", F.pmod(F.xxhash64("id"), F.lit(n_hosts)))
+    url = F.when(
+        kind == 0, F.format_string("https://%s/img/i%d", host, F.col("id"))
+    ).otherwise(F.format_string("https://%s/detail/d%d", host, F.col("id")))
+    return (
+        spark.range(n_rows)
+        .select(
+            url.alias("url"),
+            url.alias("url_canon"),
+            host.alias("host"),
+            # fine-grained priorities: with coarse ones the url_canon
+            # tie-break inside a host's top bucket systematically favors
+            # 'detail/...' over 'img/...' and skews the popped mix
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).cast("int").alias("priority"),
+            F.lit(0).cast("long").alias("exetime"),
+            F.lit(0).cast("int").alias("retries"),
+            F.lit(3).cast("int").alias("max_retries"),
+            F.when(kind == 0, F.lit("img")).otherwise(F.lit("detail")).alias("stage"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
+            F.lit(0).cast("int").alias("round_added"),
+            F.lit("synthetic").alias("lineage"),
+            F.pmod(F.xxhash64("id", F.lit(4)), F.lit(16)).cast("int").alias("salt"),
+            (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(2)) == 0).alias("vetted"),
+        )
+    )
+
+
+def run_one(cores: int) -> dict:
+    from pyspider_spark.loop import CrawlEngine
+    from pyspider_spark.schemas import FRONTIER
+    from pyspider_spark.session import get_spark
+    from pyspider_spark.synth import GraphSpec
+
+    spark = get_spark(
+        f"scaling{cores}", cores=cores, shuffle_partitions=cores * 2
+    )
+    spark.range(1000).count()  # JVM warmup outside the timed window
+    wd = tempfile.mkdtemp(prefix=f"scaling{cores}_", dir="/dev/shm")
+    try:
+        spec = GraphSpec(n_hosts=N_HOSTS, seed_tag="scaling2")
+        eng = CrawlEngine(spark, wd, spec, n_seen_partitions=64)
+        eng.store.overwrite(
+            "frontier", build_frontier(spark, FRONTIER_ROWS, N_HOSTS)
+        )
+        eng.last_frontier_rows = FRONTIER_ROWS
+
+        t0 = time.perf_counter()
+        stats = eng.run_round(0)
+        dt = time.perf_counter() - t0
+        return {
+            "cores": cores,
+            "frontier_rows": FRONTIER_ROWS,
+            "urls_scheduled_fetched": stats.popped,
+            "images_landed": stats.images_landed,
+            "items_emitted": stats.items_emitted,
+            "deferred": stats.deferred_politeness,
+            "seconds": round(dt, 2),
+            "urls_per_sec": round(stats.popped / dt, 2),
+            "frontier_rows_per_sec": round(FRONTIER_ROWS / dt, 2),
+        }
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    if args.cores is not None:
+        payload = json.dumps(run_one(args.cores))
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(payload)
+        print(payload)
+        return
+
+    results = {}
+    for cores in (8, 32):
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+            out = f.name
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cores", str(cores), "--out", out],
+            check=True,
+            cwd=REPO,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        with open(out) as fh:
+            results[cores] = json.load(fh)
+        os.unlink(out)
+
+    t_n, t_4n = results[8]["seconds"], results[32]["seconds"]
+    efficiency = (t_n / t_4n) / 4
+    print(
+        json.dumps(
+            {
+                "N": results[8],
+                "4N": results[32],
+                "speedup_N_to_4N": round(t_n / t_4n, 3),
+                "scaling_efficiency": round(efficiency, 3),
+                "target": 0.8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
