@@ -25,8 +25,8 @@ _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 def canonicalize_url(url: str) -> str:
     """Canonical form: lowercase scheme+host, drop default port, drop
-    fragment, sort query params (stable sort preserves duplicate-key
-    order), normalize empty path to '/'."""
+    fragment, sort query params by (key, value), normalize empty path
+    to '/'."""
     try:
         s = urlsplit(url.strip())
     except ValueError:

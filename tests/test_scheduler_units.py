@@ -1,0 +1,131 @@
+"""Unit tests for the frontier scheduler: pop order, budgets, robots,
+skew fixture, batch dedup selection, fetch-outcome split."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspider_spark import scheduler
+from pyspider_spark.schemas import CONFIG, ROBOTS
+
+
+def frontier_rows(spark, rows):
+    """rows: (url_canon, host, priority, exetime) with defaults."""
+    data = [
+        {
+            "url": u, "url_canon": u, "host": h, "priority": p, "exetime": e,
+            "retries": 0, "max_retries": 3, "stage": "list", "meta": None,
+            "round_added": 0, "lineage": None, "salt": 0, "vetted": False,
+        }
+        for (u, h, p, e) in rows
+    ]
+    from pyspider_spark.schemas import FRONTIER
+
+    return spark.createDataFrame(data, FRONTIER)
+
+
+def test_pop_order_and_budget(spark):
+    rows = [
+        (f"https://h1/u{i}", "h1", prio, exe)
+        for i, (prio, exe) in enumerate([(5, 0), (5, 1), (9, 2), (1, 0), (9, 0)])
+    ]
+    df = frontier_rows(spark, rows)
+    config = spark.createDataFrame(
+        [{"host": "h1", "concurrency": 3, "delay_s": 0.0, "timeout_s": 1.0,
+          "max_retries": 3, "pop_budget": 100}], CONFIG
+    )
+    popped, deferred = scheduler.pop(df, config, round_no=0)
+    got = sorted(r.url_canon for r in popped.collect())
+    # order: prio 9/exe 0 (u4), prio 9/exe 2 (u2), prio 5/exe 0 (u0); budget 3
+    assert got == ["https://h1/u0", "https://h1/u2", "https://h1/u4"]
+    d = deferred.collect()
+    assert {r.url_canon for r in d} == {"https://h1/u1", "https://h1/u3"}
+    assert all(r.exetime == 1 and r.vetted for r in d)
+
+
+def test_global_budget_cap(spark):
+    rows = [(f"https://h{i}/u", f"h{i}", 5, 0) for i in range(10)]
+    df = frontier_rows(spark, rows)
+    config = spark.createDataFrame([], CONFIG)
+    popped, deferred = scheduler.pop(df, config, round_no=0, global_budget=4)
+    assert popped.count() == 4
+    assert deferred.count() == 6
+    # global order is the north-rule total order → lexicographically first hosts
+    got = sorted(r.host for r in popped.collect())
+    assert got == ["h0", "h1", "h2", "h3"]
+
+
+def test_skewed_host_capped(spark):
+    """90% of URLs on one host: the giant host still yields exactly its
+    budget; small hosts are unaffected (Q14 skew fixture)."""
+    rows = [(f"https://big/u{i:04d}", "big", i % 10, 0) for i in range(900)]
+    rows += [(f"https://small{i}/u", f"small{i}", 5, 0) for i in range(10)]
+    df = frontier_rows(spark, rows)
+    config = spark.createDataFrame([], CONFIG)  # default budget 20
+    popped, _ = scheduler.pop(df, config, round_no=0)
+    by_host = {r["host"]: r["count"] for r in popped.groupBy("host").count().collect()}
+    assert by_host["big"] == scheduler.DEFAULT_BUDGET
+    assert all(by_host[f"small{i}"] == 1 for i in range(10))
+    # and the budget picks the BEST of the giant host, not an arbitrary slice
+    best = [r.url_canon for r in popped.filter("host='big'").collect()]
+    assert all(int(u[-4:]) % 10 == 9 for u in best)
+
+
+def test_robots_filter(spark):
+    rows = [
+        ("https://h1/private/1", "h1", 5, 0),
+        ("https://h1/public/1", "h1", 5, 0),
+        ("https://h2/private/1", "h2", 5, 0),
+    ]
+    df = frontier_rows(spark, rows)
+    robots = spark.createDataFrame(
+        [{"host": "h1", "path_prefix": "/private/", "allow": False, "crawl_delay_s": None}],
+        ROBOTS,
+    )
+    allowed, blocked = scheduler.robots_filter(df, robots)
+    assert {r.url_canon for r in blocked.collect()} == {"https://h1/private/1"}
+    assert {r.url_canon for r in allowed.collect()} == {
+        "https://h1/public/1",
+        "https://h2/private/1",  # h2 has no rule
+    }
+
+
+def test_dedup_batch_keeps_best(spark):
+    from pyspider_spark.schemas import FRONTIER
+
+    mk = lambda url, prio, exe, retries, rnd: {
+        "url": url, "url_canon": "https://h/u", "host": "h", "priority": prio,
+        "exetime": exe, "retries": retries, "max_retries": 3, "stage": "list",
+        "meta": None, "round_added": rnd, "lineage": None, "salt": 0, "vetted": False,
+    }
+    df = spark.createDataFrame(
+        [mk("a", 5, 3, 0, 2), mk("b", 9, 5, 0, 1), mk("c", 9, 2, 0, 3)], FRONTIER
+    )
+    out = scheduler.dedup_batch(df).collect()
+    assert len(out) == 1
+    assert out[0].url == "c"  # priority 9 beats 5; exetime 2 beats 5
+
+
+def test_split_fetch_outcomes(spark):
+    from pyspider_spark.schemas import FETCH_RESULTS
+
+    mk = lambda u, status, body, retries: {
+        "url_canon": u, "host": "h", "stage": "list", "priority": 0, "exetime": 0,
+        "retries": retries, "max_retries": 3, "meta": None, "status": status,
+        "body": body, "out_links": [], "image_refs": [],
+    }
+    df = spark.createDataFrame(
+        [
+            mk("ok", 200, "<html/>", 0),
+            mk("fail-retryable", 500, "", 0),
+            mk("fail-exhausted", 500, "", 2),
+            mk("captcha", 200, "x captchacharacters y", 1),
+        ],
+        FETCH_RESULTS,
+    )
+    ok, requeue, exhausted = scheduler.split_fetch_outcomes(df, "captchacharacters")
+    assert {r.url_canon for r in ok.collect()} == {"ok"}
+    rq = {r.url_canon: r.retries for r in requeue.collect()}
+    assert rq == {"fail-retryable": 1, "captcha": 2}
+    assert {r.url_canon for r in exhausted.collect()} == {"fail-exhausted"}
