@@ -49,9 +49,11 @@ def synthesize_images(docs: DataFrame, per_doc: int = 1) -> DataFrame:
     """Deterministic IMAGES-schema rows keyed by doc_id (test corpus for
     the binary-column pipeline; same codec path as the crawl fetcher)."""
 
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
         for pdf in batches:
-            rows = []
             for doc_id in pdf["doc_id"]:
                 for j in range(per_doc):
                     image_id = f"doc{doc_id}-{j}"
@@ -70,9 +72,12 @@ def synthesize_images(docs: DataFrame, per_doc: int = 1) -> DataFrame:
                             "phash": imaging.phash64(rgb),
                         }
                     )
-            yield pd.DataFrame(
-                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
-            )
+                    # binary payloads: keep Arrow batches small (see
+                    # fetch.IMAGE_OUT_BATCH)
+                    if len(rows) >= 256:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+        yield pd.DataFrame(rows, columns=cols)
 
     return docs.select("doc_id").mapInPandas(gen, schema=IMAGES)
 

@@ -61,19 +61,25 @@ def _fetch_batch(pdf: pd.DataFrame, spec: synth.GraphSpec) -> pd.DataFrame:
     return out
 
 
+IMAGE_OUT_BATCH = 256  # rows per yielded frame: image payloads are
+# hundreds of KB, so emitting input-sized (10k-row) batches would build
+# multi-GB Arrow buffers and OOM the executor's Arrow allocator.
+
+
 def materialize_images(ok_results: DataFrame, spec: synth.GraphSpec) -> DataFrame:
     """img-stage fetch results -> IMAGES rows (bytes built per Arrow batch)."""
     img_rows = ok_results.filter("stage = 'img'").select("host", "image_refs")
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
         for pdf in batches:
-            rows = []
             for host, refs in zip(pdf["host"], pdf["image_refs"]):
                 for image_id in refs or []:
                     rows.append(synth.image_row(spec, host, image_id))
-            yield pd.DataFrame(
-                rows,
-                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
-            )
+                    if len(rows) >= IMAGE_OUT_BATCH:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+        yield pd.DataFrame(rows, columns=cols)
 
     return img_rows.mapInPandas(build, schema=IMAGES)

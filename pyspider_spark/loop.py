@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyspark import StorageLevel
+
 from . import scheduler, stages, synth
 from .canon import canonicalize_udf, host_of
 from .fetch import materialize_images, run_fetch
@@ -44,6 +46,12 @@ from .synth import CAPTCHA_MARKER, GraphSpec
 from .tables import TableStore
 
 ALL_TABLES = ["frontier", "seen", "seen_filters", "items", "api_items", "images", "metrics"]
+
+# Big intermediate caches go to DISK_ONLY: scratch lives on tmpfs
+# (session.py spark.local.dir), so this is RAM-speed but serialized and
+# off-heap — a 20M-row deserialized MEMORY_AND_DISK cache would cost
+# multi-GB of JVM heap and the GC pauses eat the parallel speedup.
+CACHE = StorageLevel.DISK_ONLY
 
 
 def _priority_udf():
@@ -224,9 +232,9 @@ class CrawlEngine:
         # the whole vet+rank chain materializes exactly ONCE into this
         # cached frame; one groupBy yields popped/deferred/blocked, and
         # the popped/deferred splits are cache reads.
-        ranked = scheduler.rank_for_pop(
-            candidates, config, self.global_budget
-        ).persist()
+        ranked = scheduler.rank_adaptive(
+            candidates, config, self.global_budget, count_on=ready
+        ).persist(CACHE)
         fate = {
             (row["_pop"], row["_blk"]): row["count"]
             for row in ranked.groupBy("_pop", "_blk").count().collect()
@@ -255,9 +263,9 @@ class CrawlEngine:
             )
             self.pop_sequences[r] = [row.url_canon for row in seq]
 
-        results = run_fetch(popped, spec).persist()
+        results = run_fetch(popped, spec).persist(CACHE)
         ok, requeue, exhausted = scheduler.split_fetch_outcomes(results, CAPTCHA_MARKER)
-        ok = ok.persist()
+        ok = ok.persist(CACHE)
         requeue = requeue.persist()
         # one agg job for all four fetch-outcome counters
         is_fail = F.col("status") >= 500

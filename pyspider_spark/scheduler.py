@@ -107,20 +107,27 @@ def robots_mark(ready: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
+BIG_HOST_ROWS = 100_000  # backlog size above which a host takes the salted path
+
+
 def rank_for_pop(
     ready: DataFrame,
     config: DataFrame,
     global_budget: int | None = None,
+    salted: bool = True,
 ) -> DataFrame:
-    """Two-level budgeted pop decision as ONE ranked DataFrame with a
-    boolean ``_pop`` column — so the caller persists a single frame and
-    both the popped and deferred splits read the cache (the windows run
-    once, not once per split).
+    """Budgeted pop decision as ONE ranked DataFrame with a boolean
+    ``_pop`` column — so the caller persists a single frame and both the
+    popped and deferred splits read the cache (the windows run once, not
+    once per split).
 
-    Plan: broadcast-join config → salted pre-rank (host, salt) →
-    exact per-host rank (salt-survivors sort first, so their rank within
-    the host is unaffected by the losers ranked after them) → optional
-    global rank. All whole-stage-codegen windows.
+    ``salted=True``: two-stage skew-killed ranking — salted pre-rank on
+    (host, salt) caps each bucket at the budget, then the exact per-host
+    rank runs on ≤ N_SALT x budget rows/host. Two shuffles, safe for a
+    host with a 10M-row backlog.
+    ``salted=False``: single exact per-host window — one shuffle; for
+    inputs known to have no giant host. :func:`rank_adaptive` picks per
+    host at runtime.
     """
     budgets = F.broadcast(
         config.select(
@@ -137,22 +144,25 @@ def rank_for_pop(
     # they ride along purely so the caller counts them from this frame.
     blk = F.col("_blk") if "_blk" in df.columns else F.lit(False)
 
-    # Stage 1 (skew kill): cap each (host, salt) bucket at the host budget.
-    w_salt = Window.partitionBy("host", "salt").orderBy(
-        blk.cast("int").asc(), *pop_order()
-    )
-    df = df.withColumn("_srn", F.row_number().over(w_salt))
-    salt_ok = ~blk & (F.col("_srn") <= F.col("_budget"))
+    if salted:
+        # Stage 1 (skew kill): cap each (host, salt) bucket at the budget.
+        w_salt = Window.partitionBy("host", "salt").orderBy(
+            blk.cast("int").asc(), *pop_order()
+        )
+        df = df.withColumn("_srn", F.row_number().over(w_salt))
+        salt_ok = ~blk & (F.col("_srn") <= F.col("_budget"))
+    else:
+        salt_ok = ~blk
 
-    # Stage 2: exact per-host rank; salt-survivors order first so their
-    # relative rank equals the rank they'd get ranked alone.
+    # Exact per-host rank; survivors order first so their relative rank
+    # equals the rank they'd get ranked alone.
     w_host = Window.partitionBy("host").orderBy(
         salt_ok.cast("int").desc(), *pop_order()
     )
     df = df.withColumn("_hrn", F.row_number().over(w_host))
     host_ok = salt_ok & (F.col("_hrn") <= F.col("_budget"))
 
-    # Stage 3: global cap (ref spop count=1000), same first-sort trick.
+    # Global cap (ref spop count=1000), same first-sort trick.
     if global_budget is not None:
         w_glob = Window.orderBy(host_ok.cast("int").desc(), *pop_order())
         df = df.withColumn("_grn", F.row_number().over(w_glob))
@@ -162,6 +172,44 @@ def rank_for_pop(
     return df.withColumn("_pop", pop_flag).drop(
         *[c for c in ("_budget", "_srn", "_hrn", "_grn") if c in df.columns]
     )
+
+
+def rank_adaptive(
+    ready: DataFrame,
+    config: DataFrame,
+    global_budget: int | None = None,
+    big_host_rows: int = BIG_HOST_ROWS,
+    count_on: DataFrame | None = None,
+) -> DataFrame:
+    """Adaptive skew guard: a cheap slim pre-pass (groupBy(host).count()
+    — map-side combined, shuffles one row per host) finds hosts whose
+    backlog exceeds ``big_host_rows``; only their rows pay the two-stage
+    salted ranking. The common case (no giant host) costs ONE window
+    shuffle instead of two. Results are identical either way: the salted
+    path is an exact-rank-preserving pre-filter.
+
+    When a global budget is set the global window must see ALL hosts at
+    once, so the split would change tie-handling across paths — fall
+    back to the uniform salted ranking in that case.
+
+    ``count_on``: frame to measure per-host backlog on. Pass a CHEAPER
+    superset of ``ready`` (e.g. the raw frontier scan before the
+    dedup/bloom chain) so the pre-pass doesn't materialize an expensive
+    lineage twice; over-counting only salts a host that didn't need it.
+    """
+    if global_budget is not None:
+        return rank_for_pop(ready, config, global_budget, salted=True)
+    base = count_on if count_on is not None else ready
+    big = [
+        r["host"]
+        for r in base.groupBy("host").count().filter(F.col("count") > big_host_rows).collect()
+    ]
+    if not big:
+        return rank_for_pop(ready, config, None, salted=False)
+    is_big = F.col("host").isin(big)
+    ranked_small = rank_for_pop(ready.filter(~is_big), config, None, salted=False)
+    ranked_big = rank_for_pop(ready.filter(is_big), config, None, salted=True)
+    return ranked_small.unionByName(ranked_big)
 
 
 def pop(

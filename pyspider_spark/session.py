@@ -54,6 +54,10 @@ def get_spark(
             "spark.local.dir",
             os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
         )
+        # zstd halves shuffle bytes vs lz4 for these string-heavy rows;
+        # the extra compression CPU is parallel, the bytes saved are the
+        # cross-executor bottleneck
+        .config("spark.io.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -54,6 +54,9 @@ class GraphSpec:
     private_rate_pct: int = 10        # list pages that also link a /private/ URL
     skew_host: int | None = None      # if set, cross-links all point here
     seed_tag: str = "g1"              # namespaces all hashes
+    img_scale: int = 1                # multiplies image dims (1 → 32-128px
+                                      # test toys; 4-8 → realistic payload
+                                      # sizes for compute-weighted benches)
 
     def host(self, h: int) -> str:
         return f"host{h}.example"
@@ -318,8 +321,8 @@ def image_row(spec: GraphSpec, host: str, image_id: str) -> dict:
     (schema = BASELINE.json input_hint; built lazily at fetch time)."""
     from . import imaging  # local import keeps synth usable without numpy
 
-    w = (32, 64, 128)[h64("w", image_id) % 3]
-    h_ = (32, 64, 128)[h64("h", image_id) % 3]
+    w = (32, 64, 128)[h64("w", image_id) % 3] * spec.img_scale
+    h_ = (32, 64, 128)[h64("h", image_id) % 3] * spec.img_scale
     fmt = "jpeg" if h64("fmt", image_id) % 2 else "png"
     rgb = imaging.synth_image(image_id, w, h_)
     return {

@@ -38,6 +38,7 @@ sys.path.insert(0, REPO)
 
 FRONTIER_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_FRONTIER", "20000000"))
 N_HOSTS = int(os.environ.get("SPARK_GRAFT_SCALING_HOSTS", "50000"))
+IMG_SCALE = int(os.environ.get("SPARK_GRAFT_IMG_SCALE", "6"))
 
 
 def build_frontier(spark, n_rows: int, n_hosts: int):
@@ -86,7 +87,7 @@ def run_one(cores: int) -> dict:
     spark.range(1000).count()  # JVM warmup outside the timed window
     wd = tempfile.mkdtemp(prefix=f"scaling{cores}_", dir="/dev/shm")
     try:
-        spec = GraphSpec(n_hosts=N_HOSTS, seed_tag="scaling2")
+        spec = GraphSpec(n_hosts=N_HOSTS, seed_tag="scaling2", img_scale=IMG_SCALE)
         eng = CrawlEngine(spark, wd, spec, n_seen_partitions=64)
         eng.store.overwrite(
             "frontier", build_frontier(spark, FRONTIER_ROWS, N_HOSTS)
@@ -125,20 +126,34 @@ def main() -> None:
         print(payload)
         return
 
+    # min-of-K per level: this box carries bursty external load, so a
+    # single wall-clock sample conflates our job with whatever else ran;
+    # the minimum approaches the uncontended time.
+    repeat = int(os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "3"))
     results = {}
     for cores in (8, 32):
-        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
-            out = f.name
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cores", str(cores), "--out", out],
-            check=True,
-            cwd=REPO,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
-        with open(out) as fh:
-            results[cores] = json.load(fh)
-        os.unlink(out)
+        best = None
+        samples = []
+        for _ in range(repeat):
+            with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+                out = f.name
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cores", str(cores), "--out", out],
+                check=True,
+                cwd=REPO,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            with open(out) as fh:
+                r = json.load(fh)
+            os.unlink(out)
+            samples.append(r["seconds"])
+            if best is None or r["seconds"] < best["seconds"]:
+                best = r
+        best["all_seconds"] = samples
+        best["urls_per_sec"] = round(best["urls_scheduled_fetched"] / best["seconds"], 2)
+        best["frontier_rows_per_sec"] = round(best["frontier_rows"] / best["seconds"], 2)
+        results[cores] = best
 
     t_n, t_4n = results[8]["seconds"], results[32]["seconds"]
     efficiency = (t_n / t_4n) / 4
