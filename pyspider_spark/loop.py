@@ -45,7 +45,10 @@ from .seen import SeenSet
 from .synth import CAPTCHA_MARKER, GraphSpec
 from .tables import TableStore
 
-ALL_TABLES = ["frontier", "seen", "seen_filters", "items", "api_items", "images", "metrics"]
+ALL_TABLES = [
+    "frontier", "seen", "seen_filters", "items", "api_items", "images",
+    "metrics", "near_dup_images", "fetch_cache",
+]
 
 # Big intermediate caches go to DISK_ONLY: scratch lives on tmpfs
 # (session.py spark.local.dir), so this is RAM-speed but serialized and
@@ -105,6 +108,8 @@ class CrawlEngine:
         use_bloom: bool = True,
         global_budget: int | None = None,
         collect_pop_sequence: bool = False,
+        fetch_cache_ttl_rounds: int | None = None,
+        detect_near_dup_images: bool = True,
     ):
         self.spark = spark
         self.spec = spec
@@ -113,6 +118,8 @@ class CrawlEngine:
         self.global_budget = global_budget
         self.collect_pop_sequence = collect_pop_sequence
         self.pop_sequences: dict[int, list[str]] = {}
+        self.fetch_cache_ttl_rounds = fetch_cache_ttl_rounds
+        self.detect_near_dup_images = detect_near_dup_images
         self.last_frontier_rows = 0
         self._ledger_path = os.path.join(workdir, "_manifests", "rounds.json")
 
@@ -263,7 +270,7 @@ class CrawlEngine:
             )
             self.pop_sequences[r] = [row.url_canon for row in seq]
 
-        results = run_fetch(popped, spec).persist(CACHE)
+        results = self._fetch_with_memo(popped, r).persist(CACHE)
         ok, requeue, exhausted = scheduler.split_fetch_outcomes(results, CAPTCHA_MARKER)
         ok = ok.persist(CACHE)
         requeue = requeue.persist()
@@ -321,6 +328,70 @@ class CrawlEngine:
             df.unpersist()
         return stats
 
+    def _detect_near_dups(self, r: int, prior_images: DataFrame, had_prior: bool) -> None:
+        """J5: phash near-dup pairs for this round's images — banded
+        self-join within the batch, plus a broadcast-bloom-prefiltered
+        banded join against the prior corpus. Non-destructive: pairs
+        land in near_dup_images; the images table keeps every row.
+
+        Scale note: build_band_bloom rescans prior images here; at 10^10
+        scale the blob is maintained incrementally (append per-round
+        blobs, OR-merge on read — same pattern as seen_filters)."""
+        from . import neardup
+
+        store = self.store
+        new_imgs = store.read_last_append("images", IMAGES).select("image_id", "phash")
+        pairs = neardup.near_dup_pairs(new_imgs, new_imgs, r)
+        if had_prior:
+            prior = prior_images.select("image_id", "phash")
+            blob = neardup.build_band_bloom(prior)
+            cand = neardup.bloom_prefilter(new_imgs, blob)
+            pairs = pairs.unionByName(
+                neardup.near_dup_pairs(cand, prior, r, cross=True)
+            ).dropDuplicates(["image_id", "dup_of"])
+        store.append(
+            "near_dup_images",
+            pairs.select(*[f.name for f in neardup.NEAR_DUP_IMAGES.fields]),
+        )
+
+    def _fetch_with_memo(self, popped: DataFrame, r: int) -> DataFrame:
+        """S14/J2 at engine level: cache-aside around the fetcher. Hits
+        (fresh within the TTL window) skip the fetch entirely; misses
+        are fetched and appended to the memo table. The fetcher is
+        deterministic, so cached and live results are identical — the
+        memo changes cost, never output."""
+        from .schemas import FETCH_CACHE, FETCH_RESULTS
+
+        if self.fetch_cache_ttl_rounds is None:
+            return run_fetch(popped, self.spec)
+        store = self.store
+        fresh = store.read_or_empty("fetch_cache", FETCH_CACHE).filter(
+            F.col("cached_round") >= r - self.fetch_cache_ttl_rounds
+        )
+        # last write wins per key (re-fetched URLs append a newer row)
+        entry = F.struct("status", "body", "out_links", "image_refs")
+        cache = fresh.groupBy("url_canon").agg(
+            F.max_by(entry, F.col("cached_round")).alias("_c")
+        )
+        joined = popped.join(cache, on="url_canon", how="left_outer")
+        result_cols = [f.name for f in FETCH_RESULTS.fields]
+        hits = joined.filter(F.col("_c").isNotNull()).select(
+            *[c for c in result_cols if c not in ("status", "body", "out_links", "image_refs")],
+            F.col("_c.status").alias("status"),
+            F.col("_c.body").alias("body"),
+            F.col("_c.out_links").alias("out_links"),
+            F.col("_c.image_refs").alias("image_refs"),
+        ).select(*result_cols)
+        misses = joined.filter(F.col("_c").isNull()).drop("_c")
+        fetched = run_fetch(misses, self.spec).persist(CACHE)
+        store.append(
+            "fetch_cache",
+            fetched.select(
+                "url_canon", "status", "body", "out_links", "image_refs"
+            ).withColumn("cached_round", F.lit(r).cast("int")),
+        )
+        return hits.unionByName(fetched.select(*result_cols))
+
     def _build_new_frontier_rows(self, links: DataFrame, r: int) -> DataFrame:
         """Canonicalize discovered links, derive stage/priority, dedup the
         batch deterministically (first parent by url_canon order)."""
@@ -375,8 +446,14 @@ class CrawlEngine:
             store.append("api_items", api_items.select(*[f.name for f in API_ITEMS.fields]))
             stats.items_emitted += store.last_append_rows("api_items")
         if images is not None:
+            # pin the pre-append snapshot: the near-dup bloom must cover
+            # only PRIOR images, else every new image hits its own bands
+            prior_images = store.read_or_empty("images", IMAGES)
+            had_prior = store.count_rows("images") > 0
             store.append("images", images.select(*[f.name for f in IMAGES.fields]))
             stats.images_landed = store.last_append_rows("images")
+            if self.detect_near_dup_images and stats.images_landed > 0:
+                self._detect_near_dups(r, prior_images, had_prior)
         store.overwrite("frontier", frontier_after.select(*[f.name for f in FRONTIER.fields]))
         self.last_frontier_rows = store.count_rows("frontier")
 

@@ -175,6 +175,20 @@ CACHE = T.StructType(
     ]
 )
 
+# Fetch memo-cache (S14/J2 at engine level): one row per fetched URL;
+# TTL = filter on cached_round. The cache-aside of app/api/jingxi.py:16-28
+# applied to the fetcher.
+FETCH_CACHE = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("body", T.StringType(), True),
+        T.StructField("out_links", T.ArrayType(T.StringType()), True),
+        T.StructField("image_refs", T.ArrayType(T.StringType()), True),
+        T.StructField("cached_round", T.IntegerType(), False),
+    ]
+)
+
 TABLE_SCHEMAS = {
     "frontier": FRONTIER,
     "images": IMAGES,

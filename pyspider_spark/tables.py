@@ -173,6 +173,14 @@ class TableStore:
         snap = self._snapshot(m, None)
         return parquet_file_rows(snap["dirs"]) if snap else []
 
+    def read_last_append(self, name: str, schema) -> DataFrame:
+        """DataFrame over ONLY the most recent append's data dir."""
+        m = self._load_manifest(name)
+        snap = self._snapshot(m, None)
+        if not snap or not snap["dirs"]:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(snap["dirs"][-1])
+
     def last_append_rows(self, name: str) -> int:
         """Rows landed by the most recent append/overwrite (its data dir
         is the last in the current snapshot's dir list)."""

@@ -1,0 +1,122 @@
+"""J5 phash near-dup detection + S14 fetch memo-cache."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspider_spark import neardup
+from pyspider_spark.loop import CrawlEngine
+from pyspider_spark.schemas import FETCH_CACHE, IMAGES, ITEMS, METRICS, SEEN
+from pyspider_spark.synth import GraphSpec
+
+# ---------------------------------------------------------------- neardup
+
+
+def imgs_df(spark, rows):
+    return spark.createDataFrame(rows, ["image_id", "phash"])
+
+
+def test_near_dup_exact_and_close(spark):
+    base = 0x0123456789ABCDEF
+    rows = [
+        ("a", base),
+        ("b", base),               # hamming 0
+        ("c", base ^ 0b111),       # hamming 3
+        ("d", base ^ ((1 << 63) | (1 << 1) | (1 << 17) | (1 << 33) | (1 << 49)
+                      | (1 << 9) | (1 << 25) | (1 << 41))),  # 8 bits, one per band
+        ("e", ~base),              # hamming 64
+    ]
+    df = imgs_df(spark, rows)
+    pairs = {
+        (r.image_id, r.dup_of): r.hamming
+        for r in neardup.near_dup_pairs(df, df, 0).collect()
+    }
+    assert pairs[("b", "a")] == 0
+    assert pairs[("c", "a")] == 3 and pairs[("c", "b")] == 3
+    assert ("e", "a") not in pairs
+    # d differs in every band → no band collision → not even a candidate
+    assert all(k[0] != "d" and k[1] != "d" for k in pairs)
+
+
+def test_band_guarantee_radius(spark):
+    """Any pair within hamming ≤ 7 shares ≥1 exact band (pigeonhole)."""
+    base = 0x0F0F0F0F0F0F0F0F
+    close = base ^ 0x7F  # 7 bits flipped, all in band 0
+    df = imgs_df(spark, [("x", base), ("y", close)])
+    got = neardup.near_dup_pairs(df, df, 0).collect()
+    assert len(got) == 1 and got[0].hamming == 7
+
+
+def test_bloom_prefilter_blocks_novel(spark):
+    prior = imgs_df(spark, [("p1", 111), ("p2", 222)])
+    blob = neardup.build_band_bloom(prior)
+    new = imgs_df(spark, [("n1", 111), ("n2", 0x7777777777777777)])
+    kept = {r.image_id for r in neardup.bloom_prefilter(new, blob).collect()}
+    assert "n1" in kept  # exact phash match must survive the prefilter
+    # n2 shares no band with the corpus: overwhelmingly likely filtered
+    assert "n2" not in kept
+
+
+def test_crawl_writes_near_dup_table(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("nd"))
+    eng = CrawlEngine(spark, wd, GraphSpec(n_hosts=2, chains_per_host=2), n_seen_partitions=4)
+    eng.run(max_rounds=3)
+    nd = eng.store.read_or_empty("near_dup_images", neardup.NEAR_DUP_IMAGES)
+    # table exists and any reported pair is within the guaranteed radius
+    rows = nd.collect()
+    assert all(r.hamming <= neardup.MAX_HAMMING for r in rows)
+
+
+# ------------------------------------------------------------ fetch cache
+
+
+def digest_tables(eng):
+    import hashlib
+
+    out = {}
+    for name, schema in [("seen", SEEN), ("items", ITEMS), ("images", IMAGES), ("metrics", METRICS)]:
+        df = eng.store.read_or_empty(name, schema)
+        rows = sorted(repr(sorted(r.asDict().items())) for r in df.collect())
+        out[name] = hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    return out
+
+
+def test_fetch_cache_identical_outputs(spark, tmp_path_factory):
+    """The memo-cache must never change results (deterministic fetcher):
+    all output tables byte-identical with and without it; the cache
+    table fills up."""
+    spec = GraphSpec(n_hosts=2, chains_per_host=2, seed_tag="memo1")
+    wd_a = str(tmp_path_factory.mktemp("nocache"))
+    a = CrawlEngine(spark, wd_a, spec, n_seen_partitions=4)
+    a.run(max_rounds=3)
+
+    wd_b = str(tmp_path_factory.mktemp("cache"))
+    b = CrawlEngine(spark, wd_b, spec, n_seen_partitions=4, fetch_cache_ttl_rounds=2)
+    b.run(max_rounds=3)
+
+    assert digest_tables(a) == digest_tables(b)
+    cached = b.store.read_or_empty("fetch_cache", FETCH_CACHE)
+    assert cached.count() > 0
+    # cache keys are unique per (url, round) and rows carry real bodies
+    assert cached.filter(F.col("status") == 200).count() > 0
+
+
+def test_fetch_cache_serves_hits_on_retries(spark, tmp_path_factory):
+    """A URL that fails is re-popped next round; within the TTL the
+    retry is a cache HIT (the deterministic fetcher would return the
+    same result anyway), so the cache holds strictly fewer rows than the
+    total popped count whenever retries occurred."""
+    spec = GraphSpec(n_hosts=3, chains_per_host=3, fail_rate_pct=20, seed_tag="memo2")
+    wd = str(tmp_path_factory.mktemp("warm"))
+    eng = CrawlEngine(spark, wd, spec, n_seen_partitions=4, fetch_cache_ttl_rounds=10)
+    stats = eng.run(max_rounds=4)
+    total_popped = sum(s.popped for s in stats)
+    total_retried = sum(s.retried for s in stats)
+    assert total_retried > 0, "fixture must produce retries"
+    n_cache = eng.store.read_or_empty("fetch_cache", FETCH_CACHE).count()
+    # every retry re-pop was served from cache → not re-appended. (Exact
+    # re-pop count depends on which scheduled retries fell inside
+    # max_rounds, so bound it: at least one hit, at most all scheduled.)
+    total_requeued = total_retried + sum(s.captcha_requeued for s in stats)
+    assert total_popped - total_requeued <= n_cache < total_popped
