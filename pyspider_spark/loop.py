@@ -47,8 +47,10 @@ from .tables import TableStore
 
 ALL_TABLES = [
     "frontier", "seen", "seen_filters", "items", "api_items", "images",
-    "metrics", "near_dup_images", "fetch_cache",
+    "metrics", "near_dup_images", "fetch_cache", "phash_filters",
 ]
+
+COMPACT_EVERY = 8  # rounds between bloom-blob compactions
 
 # Big intermediate caches go to DISK_ONLY: scratch lives on tmpfs
 # (session.py spark.local.dir), so this is RAM-speed but serialized and
@@ -334,25 +336,39 @@ class CrawlEngine:
         banded join against the prior corpus. Non-destructive: pairs
         land in near_dup_images; the images table keeps every row.
 
-        Scale note: build_band_bloom rescans prior images here; at 10^10
-        scale the blob is maintained incrementally (append per-round
-        blobs, OR-merge on read — same pattern as seen_filters)."""
+        The corpus bloom is maintained INCREMENTALLY in phash_filters
+        (one blob appended per round, OR-merged on read) — the prior
+        corpus is never rescanned to build it."""
+        import numpy as np
+
         from . import neardup
+        from .schemas import SEEN_FILTERS
 
         store = self.store
         new_imgs = store.read_last_append("images", IMAGES).select("image_id", "phash")
         pairs = neardup.near_dup_pairs(new_imgs, new_imgs, r)
         if had_prior:
-            prior = prior_images.select("image_id", "phash")
-            blob = neardup.build_band_bloom(prior)
-            cand = neardup.bloom_prefilter(new_imgs, blob)
-            pairs = pairs.unionByName(
-                neardup.near_dup_pairs(cand, prior, r, cross=True)
-            ).dropDuplicates(["image_id", "dup_of"])
+            blob_rows = store.read_or_empty("phash_filters", SEEN_FILTERS).collect()
+            if blob_rows:
+                acc = np.zeros(neardup.PHASH_BLOOM_BITS // 8, dtype=np.uint8)
+                for row in blob_rows:
+                    acc |= np.frombuffer(bytes(row.filter), dtype=np.uint8)
+                prior = prior_images.select("image_id", "phash")
+                cand = neardup.bloom_prefilter(new_imgs, acc.tobytes())
+                pairs = pairs.unionByName(
+                    neardup.near_dup_pairs(cand, prior, r, cross=True)
+                ).dropDuplicates(["image_id", "dup_of"])
         store.append(
             "near_dup_images",
             pairs.select(*[f.name for f in neardup.NEAR_DUP_IMAGES.fields]),
         )
+        # append this round's band blob for future rounds' pre-filters
+        new_blob = neardup.build_band_bloom(new_imgs)
+        n_new = store.last_append_rows("images")
+        blob_df = self.spark.createDataFrame(
+            [(0, r, n_new, bytearray(new_blob))], SEEN_FILTERS
+        )
+        store.append("phash_filters", blob_df)
 
     def _fetch_with_memo(self, popped: DataFrame, r: int) -> DataFrame:
         """S14/J2 at engine level: cache-aside around the fetcher. Hits
@@ -490,4 +506,29 @@ class CrawlEngine:
             all_stats.append(stats)
             if self.last_frontier_rows == 0:  # footer metadata, no job
                 break
+            if (r + 1) % COMPACT_EVERY == 0:
+                self._compact(r)
         return all_stats
+
+    def _compact(self, r: int) -> None:
+        """Periodic state compaction: OR-merge accumulated bloom blobs
+        so reads stay O(partitions), not O(rounds). Content-equivalent
+        (pure merge), so resume correctness is unaffected — old dirs
+        stay reachable from earlier snapshots until vacuum."""
+        import numpy as np
+
+        from . import neardup
+        from .schemas import SEEN_FILTERS
+
+        self.seen.compact_filters(r)
+        rows = self.store.read_or_empty("phash_filters", SEEN_FILTERS).collect()
+        if len(rows) > 1:
+            acc = np.zeros(neardup.PHASH_BLOOM_BITS // 8, dtype=np.uint8)
+            n = 0
+            for row in rows:
+                acc |= np.frombuffer(bytes(row.filter), dtype=np.uint8)
+                n += int(row.n_items)
+            merged = self.spark.createDataFrame(
+                [(0, r, n, bytearray(acc.tobytes()))], SEEN_FILTERS
+            )
+            self.store.overwrite("phash_filters", merged)

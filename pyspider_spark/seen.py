@@ -204,3 +204,24 @@ class SeenSet:
 
             blobs = rows.groupBy("partition_id").applyInPandas(build, schema=SEEN_FILTERS)
             self.store.append("seen_filters", blobs)
+
+    def compact_filters(self, round_no: int) -> None:
+        """OR-merge each partition's accumulated per-round blobs into
+        one. Without this, filter_unseen reads O(rounds) blobs per
+        partition per round — at a long crawl that read amplification
+        dominates the probe cost."""
+        filters = self.store.read_or_empty("seen_filters", SEEN_FILTERS)
+        n_bits = self.n_bits
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "partition_id": [int(pdf["partition_id"].iloc[0])],
+                    "round": [round_no],
+                    "n_items": [int(pdf["n_items"].sum())],
+                    "filter": [bloom_merge(list(pdf["filter"]), n_bits)],
+                }
+            )
+
+        merged = filters.groupBy("partition_id").applyInPandas(merge, schema=SEEN_FILTERS)
+        self.store.overwrite("seen_filters", merged)
