@@ -77,14 +77,27 @@ def with_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
 
 
 def minhash_signature(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """doc_id + mh0..mh{N-1} + band0..band{B-1} (docs with ≥k tokens)."""
+    """doc_id + mh0..mh{N-1} + band0..band{B-1} (docs with ≥k tokens).
+
+    All N minhashes come from ONE nested-transform expression over the
+    shingle array: Spark has no common-subexpression elimination across
+    lambda columns, so N separate ``array_min(transform(shingles, ...))``
+    columns would each re-evaluate the md5 shingle extraction (~N× the
+    whole cost). The single `_mhs` array keeps one evaluation per row;
+    the per-column extracts are cheap element_at projections that
+    CollapseProject will not inline into duplicated work."""
     df = with_shingles(docs, k).filter(F.size("shingles") > 0)
-    for i in range(N_MINHASH):
-        seeded = f"concat('{i}:', cast(h as string))"
-        df = df.withColumn(
-            f"mh{i}",
-            F.expr(f"array_min(transform(shingles, h -> {h32_sql(seeded)}))"),
-        )
+    seeded = h32_sql("concat(cast(i as string), ':', cast(h as string))")
+    df = df.withColumn(
+        "_mhs",
+        F.expr(
+            f"transform(sequence(0, {N_MINHASH - 1}), "
+            f"i -> array_min(transform(shingles, h -> {seeded})))"
+        ),
+    )
+    df = df.select(
+        "*", *[F.element_at("_mhs", i + 1).alias(f"mh{i}") for i in range(N_MINHASH)]
+    ).drop("_mhs")
     for b in range(N_BANDS):
         parts = ", ".join(
             f"cast(mh{b * ROWS_PER_BAND + r} as string)"
@@ -135,10 +148,14 @@ def minhash_near_dups(
     docs: DataFrame, threshold_bp: int = 4000, k: int = SHINGLE_K
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
-    exact-Jaccard verify on candidates only."""
+    exact-Jaccard verify on candidates only. Signatures are persisted:
+    three consumers (band explode, verify left, verify right) would
+    otherwise each re-run the md5 shingle extraction."""
+    from pyspark import StorageLevel
+
     sigs = minhash_signature(docs, k).select(
         "doc_id", "shingles", *[f"band{b}" for b in range(N_BANDS)]
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sigs)
     sh = sigs.select("doc_id", "shingles")
     verified = (
