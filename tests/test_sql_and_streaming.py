@@ -23,13 +23,14 @@ def test_sql_views(crawl, spark):
     eng, _, stats = crawl
     views = sqlviews.register_views(eng.store)
     assert {"frontier", "seen", "items", "metrics", "config", "robots"} <= set(views)
-    per_host = spark.sql(
-        "SELECT host, count(*) AS n FROM seen GROUP BY host ORDER BY host"
+    per_part = spark.sql(
+        "SELECT partition_id, count(*) AS n FROM seen GROUP BY partition_id ORDER BY partition_id"
     ).collect()
-    assert sum(r.n for r in per_host) == spark.sql("SELECT count(*) c FROM seen").collect()[0].c
+    assert sum(r.n for r in per_part) == spark.sql("SELECT count(*) c FROM seen").collect()[0].c
     report = sqlviews.crawl_report_sql(spark).collect()
-    # bootstrap writes a round=-1 metrics row, then one per crawl round
-    assert [r.round for r in report] == [-1] + [s.round for s in stats]
+    # one metrics-table row per crawl round (the round=-1 bootstrap
+    # checkpoint lives in the ledger, not the metrics table)
+    assert [r.round for r in report] == [s.round for s in stats]
 
 
 def test_streaming_tail_matches_batch(crawl, spark):
