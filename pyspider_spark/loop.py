@@ -123,6 +123,7 @@ class CrawlEngine:
         self.fetch_cache_ttl_rounds = fetch_cache_ttl_rounds
         self.detect_near_dup_images = detect_near_dup_images
         self.last_frontier_rows = 0
+        self._round_persists: list[DataFrame] = []
         self._ledger_path = os.path.join(workdir, "_manifests", "rounds.json")
 
     # ------------------------------------------------------------- ledger
@@ -210,6 +211,9 @@ class CrawlEngine:
     def run_round(self, r: int) -> RoundStats:
         stats = RoundStats(round=r)
         store, spec = self.store, self.spec
+        # frames persisted by helpers during this round (e.g. the memo
+        # fetch path); unpersisted with the round's own frames below.
+        self._round_persists: list[DataFrame] = []
 
         frontier = store.read_or_empty("frontier", FRONTIER)
         ready, not_ready = scheduler.split_ready(frontier, r)
@@ -241,9 +245,15 @@ class CrawlEngine:
         # the whole vet+rank chain materializes exactly ONCE into this
         # cached frame; one groupBy yields popped/deferred/blocked, and
         # the popped/deferred splits are cache reads.
-        ranked = scheduler.rank_adaptive(
-            candidates, config, self.global_budget, count_on=ready
+        # persist the host-level ranking FIRST so the global-budget
+        # threshold job (a tiny TakeOrdered) reads the cache instead of
+        # recomputing the ranking windows.
+        ranked_cached = scheduler.rank_adaptive(
+            candidates, config, None, count_on=ready
         ).persist(CACHE)
+        ranked = ranked_cached
+        if self.global_budget is not None:
+            ranked = scheduler.apply_global_budget(ranked_cached, self.global_budget)
         fate = {
             (row["_pop"], row["_blk"]): row["count"]
             for row in ranked.groupBy("_pop", "_blk").count().collect()
@@ -326,7 +336,7 @@ class CrawlEngine:
 
         self._write_round_outputs(r, stats, popped, items, api_items, images, frontier_after)
 
-        for df in (ranked, results, ok, requeue, parsed_api, new_rows):
+        for df in (ranked_cached, results, ok, requeue, parsed_api, new_rows, *self._round_persists):
             df.unpersist()
         return stats
 
@@ -400,9 +410,17 @@ class CrawlEngine:
         ).select(*result_cols)
         misses = joined.filter(F.col("_c").isNull()).drop("_c")
         fetched = run_fetch(misses, self.spec).persist(CACHE)
+        self._round_persists.append(fetched)
+        # cache only successful, non-captcha responses: a memoized
+        # failure would otherwise be served to the retry pop within the
+        # TTL, so a real (non-deterministic) fetcher could never observe
+        # a recovered fetch.
+        cacheable = fetched.filter(
+            (F.col("status") < 500) & ~F.col("body").contains(CAPTCHA_MARKER)
+        )
         store.append(
             "fetch_cache",
-            fetched.select(
+            cacheable.select(
                 "url_canon", "status", "body", "out_links", "image_refs"
             ).withColumn("cached_round", F.lit(r).cast("int")),
         )

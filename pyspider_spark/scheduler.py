@@ -162,16 +162,57 @@ def rank_for_pop(
     df = df.withColumn("_hrn", F.row_number().over(w_host))
     host_ok = salt_ok & (F.col("_hrn") <= F.col("_budget"))
 
-    # Global cap (ref spop count=1000), same first-sort trick.
-    if global_budget is not None:
-        w_glob = Window.orderBy(host_ok.cast("int").desc(), *pop_order())
-        df = df.withColumn("_grn", F.row_number().over(w_glob))
-        pop_flag = host_ok & (F.col("_grn") <= F.lit(global_budget))
-    else:
-        pop_flag = host_ok
-    return df.withColumn("_pop", pop_flag).drop(
-        *[c for c in ("_budget", "_srn", "_hrn", "_grn") if c in df.columns]
+    df = df.withColumn("_pop", host_ok).drop(
+        *[c for c in ("_budget", "_srn", "_hrn") if c in df.columns]
     )
+    # Global cap (ref spop count=1000) — threshold-based, never an
+    # unpartitioned window over the full backlog.
+    if global_budget is not None:
+        df = apply_global_budget(df, global_budget)
+    return df
+
+
+def apply_global_budget(ranked: DataFrame, global_budget: int) -> DataFrame:
+    """Exact global top-k cap (ref ``spop count=1000``,
+    spiders/amazon/crawl_goods_list.py:44) over a host-ranked frame
+    WITHOUT an unpartitioned window: ``Window.orderBy`` with no
+    partitioning funnels the entire candidate backlog through one task.
+    Instead: (1) distributed TakeOrdered finds the B-th pop key among
+    only in-budget rows (≤ Σ host budgets — each partition contributes
+    its local top-B, the driver merges ≤ P×B keys), (2) a scalar
+    lexicographic comparison against that threshold keeps rows at or
+    under it. The pop order is TOTAL (url_canon is unique within a
+    vetted batch), so threshold membership == exact global rank ≤ B —
+    byte-identical to the window formulation.
+
+    Pass an already-persisted ``ranked`` (the engine does) so the tiny
+    threshold job reads the cache instead of recomputing the ranking
+    windows."""
+    thr_row = (
+        ranked.filter(F.col("_pop"))
+        .select(
+            F.struct(
+                (-F.col("priority")).alias("p"),
+                F.col("exetime").alias("e"),
+                F.col("url_canon").alias("u"),
+            ).alias("_k")
+        )
+        .orderBy("_k")
+        .limit(global_budget)
+        .agg(F.max("_k").alias("_thr"))
+        .collect()[0]["_thr"]
+    )
+    if thr_row is None:
+        return ranked  # no qualifying rows at all
+    p, e, u = -thr_row["p"], thr_row["e"], thr_row["u"]
+    under = (F.col("priority") > F.lit(p)) | (
+        (F.col("priority") == F.lit(p))
+        & (
+            (F.col("exetime") < F.lit(e))
+            | ((F.col("exetime") == F.lit(e)) & (F.col("url_canon") <= F.lit(u)))
+        )
+    )
+    return ranked.withColumn("_pop", F.col("_pop") & under)
 
 
 def rank_adaptive(
@@ -188,9 +229,10 @@ def rank_adaptive(
     shuffle instead of two. Results are identical either way: the salted
     path is an exact-rank-preserving pre-filter.
 
-    When a global budget is set the global window must see ALL hosts at
-    once, so the split would change tie-handling across paths — fall
-    back to the uniform salted ranking in that case.
+    A global budget composes cleanly on top (threshold cap, see
+    :func:`apply_global_budget`): the pop order is total, so the
+    adaptive small/big split cannot change which rows clear the
+    threshold.
 
     ``count_on``: frame to measure per-host backlog on. Pass a CHEAPER
     superset of ``ready`` (e.g. the raw frontier scan before the
@@ -198,7 +240,8 @@ def rank_adaptive(
     lineage twice; over-counting only salts a host that didn't need it.
     """
     if global_budget is not None:
-        return rank_for_pop(ready, config, global_budget, salted=True)
+        ranked = rank_adaptive(ready, config, None, big_host_rows, count_on)
+        return apply_global_budget(ranked, global_budget)
     base = count_on if count_on is not None else ready
     big = [
         r["host"]

@@ -102,21 +102,51 @@ def test_fetch_cache_identical_outputs(spark, tmp_path_factory):
     assert cached.filter(F.col("status") == 200).count() > 0
 
 
-def test_fetch_cache_serves_hits_on_retries(spark, tmp_path_factory):
-    """A URL that fails is re-popped next round; within the TTL the
-    retry is a cache HIT (the deterministic fetcher would return the
-    same result anyway), so the cache holds strictly fewer rows than the
-    total popped count whenever retries occurred."""
+def test_fetch_cache_skips_failures_and_serves_hits(spark, tmp_path_factory):
+    """Failures and captcha bodies are never memoized — a retry must be
+    able to observe a recovered fetch once the real-network fetcher is
+    swapped in. Every successful fetch is cached exactly once, and
+    re-presenting an already-cached URL is a pure cache hit (nothing
+    re-appended, cached body returned)."""
+    from pyspider_spark.synth import CAPTCHA_MARKER
+
     spec = GraphSpec(n_hosts=3, chains_per_host=3, fail_rate_pct=20, seed_tag="memo2")
     wd = str(tmp_path_factory.mktemp("warm"))
     eng = CrawlEngine(spark, wd, spec, n_seen_partitions=4, fetch_cache_ttl_rounds=10)
     stats = eng.run(max_rounds=4)
-    total_popped = sum(s.popped for s in stats)
-    total_retried = sum(s.retried for s in stats)
-    assert total_retried > 0, "fixture must produce retries"
-    n_cache = eng.store.read_or_empty("fetch_cache", FETCH_CACHE).count()
-    # every retry re-pop was served from cache → not re-appended. (Exact
-    # re-pop count depends on which scheduled retries fell inside
-    # max_rounds, so bound it: at least one hit, at most all scheduled.)
-    total_requeued = total_retried + sum(s.captcha_requeued for s in stats)
-    assert total_popped - total_requeued <= n_cache < total_popped
+    assert sum(s.retried for s in stats) > 0, "fixture must produce retries"
+    cache = eng.store.read_or_empty("fetch_cache", FETCH_CACHE)
+    assert (
+        cache.filter(
+            (F.col("status") >= 500) | F.col("body").contains(CAPTCHA_MARKER)
+        ).count()
+        == 0
+    )
+    n_cache = cache.count()
+    # deterministic fixture: an ok URL is popped exactly once → cached
+    # exactly once; failed/captcha pops never land in the cache.
+    assert n_cache == sum(s.fetched_ok for s in stats) > 0
+
+    # hit path: re-present 5 cached URLs as a fresh popped batch — all
+    # hits, so nothing is appended and the cached bodies come back.
+    sample = cache.limit(5)
+    popped = sample.select(
+        F.col("url_canon").alias("url"),
+        "url_canon",
+        F.lit("h").alias("host"),
+        F.lit(5).alias("priority"),
+        F.lit(4).cast("long").alias("exetime"),
+        F.lit(0).alias("retries"),
+        F.lit(3).alias("max_retries"),
+        F.lit("list").alias("stage"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+        F.lit(4).alias("round_added"),
+        F.lit("t").alias("lineage"),
+        F.lit(0).alias("salt"),
+        F.lit(True).alias("vetted"),
+    )
+    out = eng._fetch_with_memo(popped, r=4)
+    got = {r.url_canon: r.body for r in out.collect()}
+    want = {r.url_canon: r.body for r in sample.collect()}
+    assert got == want and len(got) == 5
+    assert eng.store.read_or_empty("fetch_cache", FETCH_CACHE).count() == n_cache
