@@ -163,10 +163,15 @@ class CrawlEngine:
         if not ledger:
             for t in ALL_TABLES:
                 self.store.rollback(t, None)
+                self.store.prune_abandoned(t)
             return None
         snaps = ledger[-1]["snapshots"]
         for t in ALL_TABLES:
             self.store.rollback(t, snaps.get(t))
+            # physically remove the crashed round's dirs: the replay will
+            # re-append the same rows, and file-source streams tailing
+            # the table must not see both copies.
+            self.store.prune_abandoned(t)
         return ledger[-1]["round"]
 
     # ---------------------------------------------------------- bootstrap

@@ -14,10 +14,14 @@ a streaming runtime:
          .format("memory").queryName("items_per_round")
          .trigger(availableNow=True).start())
 
-Late/replayed data: a resumed crawl overwrites table pointers but never
-rewrites old data dirs, so a file-source stream sees each appended file
-exactly once (exactly-once per data file — the same guarantee Iceberg
-streaming reads give).
+Late/replayed data: a resumed crawl rolls table pointers back to the
+last complete round AND physically prunes the crashed round's data dirs
+(``TableStore.prune_abandoned``, invoked by ``restore_to_ledger``), so
+the replayed round's re-appends are the only copy on disk and a
+file-source stream sees each data file exactly once (the same guarantee
+Iceberg streaming reads give). Streams started BEFORE the crash point
+should be restarted after resume — their source checkpoint may
+reference pruned files.
 """
 
 from __future__ import annotations

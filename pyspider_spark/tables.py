@@ -198,6 +198,30 @@ class TableStore:
         m["current"] = snapshot_id
         self._commit_manifest(name, m)
 
+    def prune_abandoned(self, name: str) -> None:
+        """Drop snapshots NEWER than the current pointer (abandoned by a
+        rollback) and delete their now-unreferenced data dirs — also
+        sweeps dirs orphaned by a write that died before its manifest
+        commit. Called on resume so file-source streams
+        (:mod:`streaming`) never see a replayed round's rows twice:
+        without it, the crashed round's dirs stay on disk and the replay
+        appends identical rows under new dirs. History up to the current
+        snapshot is preserved (unlike :meth:`vacuum`)."""
+        m = self._load_manifest(name)
+        cur = m["current"]
+        keep_snaps = [
+            s for s in m["snapshots"] if cur is not None and s["id"] <= cur
+        ]
+        keep = {d for s in keep_snaps for d in s["dirs"]}
+        tdir = os.path.join(self.root, name)
+        if os.path.isdir(tdir):
+            for d in os.listdir(tdir):
+                full = os.path.join(tdir, d)
+                if full not in keep:
+                    shutil.rmtree(full, ignore_errors=True)
+        m["snapshots"] = keep_snaps
+        self._commit_manifest(name, m)
+
     def vacuum(self, name: str) -> None:
         """Drop data dirs unreachable from the current snapshot."""
         m = self._load_manifest(name)

@@ -68,6 +68,31 @@ def test_resume_discards_half_written_round(spark, tmp_path_factory):
         assert digest(eng2, table, schema) == digest(ref, table, schema), table
 
 
+def test_resume_prunes_crashed_dirs_for_streaming(spark, tmp_path_factory):
+    """A file-source stream tails data dirs directly, so a crashed
+    round's dirs must be physically gone after resume — otherwise the
+    replayed round's identical re-appends show up twice downstream."""
+    from pyspider_spark import streaming
+
+    wd = str(tmp_path_factory.mktemp("streamcrash"))
+    eng = CrawlEngine(spark, wd, SPEC, n_seen_partitions=4)
+    eng.run(max_rounds=2)
+    # crash mid-round-2: an items append that never reaches a checkpoint
+    junk = eng.store.read_or_empty("items", ITEMS).limit(3)
+    eng.store.append("items", junk)
+
+    eng2 = CrawlEngine(spark, wd, SPEC, n_seen_partitions=4)
+    eng2.run(max_rounds=ROUNDS, resume=True)
+
+    batch_n = eng2.store.read_or_empty("items", ITEMS).count()
+    stream = streaming.tail_table(spark, wd, "items")
+    streaming.run_once_to_memory(
+        stream.groupBy().count().withColumnRenamed("count", "n"), "items_crash_t"
+    )
+    stream_n = spark.sql("SELECT n FROM items_crash_t").collect()[0].n
+    assert stream_n == batch_n
+
+
 def test_resume_on_fresh_dir_bootstraps(spark, tmp_path_factory):
     wd = str(tmp_path_factory.mktemp("fresh"))
     eng = CrawlEngine(spark, wd, SPEC, n_seen_partitions=4)
