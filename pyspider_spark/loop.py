@@ -1,10 +1,28 @@
 """Batch-iterative crawl loop with atomic per-round checkpoints + resume.
 
 One round ≙ one full pass of the reference's producer/worker machinery
-(reference common/spider.py:277-290): read frontier → dedup → robots →
-budgeted pop → fetch → parse → write-back. The driver loop replaces the
+(reference common/spider.py:277-290): read frontier → budgeted pop →
+fetch → parse → vet+enqueue new links. The driver loop replaces the
 asyncio queue/join (common/spider.py:285); Spark task parallelism
 replaces the 4 workers (common/settings.py:11).
+
+Incremental frontier (the 100-TB design): the frontier table is
+APPEND-ONLY. Rows enter once (seeds, vetted new links, retries) and are
+never rewritten; popping appends a tombstone row to ``tomb`` instead of
+rewriting the table, and politeness deferral writes NOTHING — a
+deferred row simply stays in place and re-enters the next round's pop
+ranking. This works byte-identically to the eager-rewrite formulation
+because every ready row's politeness-bumped exetime is provably equal
+to the current round number (deferred rows get r+1, new links get r+1,
+seeds surface at their seed_exetime round), so the effective exetime is
+*derived* per round rather than stored. Per-round frontier write I/O is
+therefore O(popped + new links), never O(backlog); a periodic
+compaction round folds tombstones in and truncates ``tomb``.
+
+Vetting (dedup + robots) happens at link-DISCOVERY time, gated by the
+``enqueued`` membership set (bloom-accelerated, same machinery as the
+seen set), so rows in the frontier are final and the pop path never
+re-vets — per-round vet work is O(new links).
 
 Checkpoint contract (north rule): after each round the engine appends an
 entry to the round ledger ``_manifests/rounds.json`` pinning the snapshot
@@ -46,11 +64,18 @@ from .synth import CAPTCHA_MARKER, GraphSpec
 from .tables import TableStore
 
 ALL_TABLES = [
-    "frontier", "seen", "seen_filters", "items", "api_items", "images",
+    "frontier", "tomb", "enqueued", "enqueued_filters",
+    "seen", "seen_filters", "items", "api_items", "images",
     "metrics", "near_dup_images", "fetch_cache", "phash_filters",
 ]
 
-COMPACT_EVERY = 8  # rounds between bloom-blob compactions
+COMPACT_EVERY = 8  # rounds between frontier/bloom compactions
+
+# Tombstone sets at or under this many rows ride the broadcast side of
+# the frontier anti-join (the backlog side never shuffles). Above it —
+# only possible with a very long compaction interval at huge pop rates —
+# the join falls back to a shuffle and AQE picks the strategy.
+BROADCAST_TOMB_MAX = 1_000_000
 
 # Big intermediate caches go to DISK_ONLY: scratch lives on tmpfs
 # (session.py spark.local.dir), so this is RAM-speed but serialized and
@@ -117,6 +142,15 @@ class CrawlEngine:
         self.spec = spec
         self.store = TableStore(spark, workdir)
         self.seen = SeenSet(self.store, n_partitions=n_seen_partitions, use_bloom=use_bloom)
+        # url-ever-enqueued membership (dedup at link-discovery time) —
+        # same bloom-backed structure over its own tables.
+        self.enqueued = SeenSet(
+            self.store,
+            n_partitions=n_seen_partitions,
+            use_bloom=use_bloom,
+            table="enqueued",
+            filters_table="enqueued_filters",
+        )
         self.global_budget = global_budget
         self.collect_pop_sequence = collect_pop_sequence
         self.pop_sequences: dict[int, list[str]] = {}
@@ -207,9 +241,25 @@ class CrawlEngine:
             F.pmod(F.xxhash64("url_canon"), F.lit(scheduler.N_SALT))
             .cast("int")
             .alias("salt"),
-            F.lit(False).alias("vetted"),
+            F.lit(True).alias("vetted"),
         )
-        self.store.overwrite("frontier", frontier)
+        # seeds are vetted at bootstrap (discovery-time contract): dedup
+        # in-batch, drop robots-disallowed, register in the enqueued set.
+        frontier = scheduler.dedup_batch(frontier)
+        robots_df = self.store.read_or_empty("robots", ROBOTS)
+        vetted = (
+            scheduler.robots_mark(frontier, robots_df)
+            .filter(~F.col("_blk"))
+            .drop("_blk")
+        )
+        self.store.overwrite(
+            "frontier", vetted.select(*[f.name for f in FRONTIER.fields])
+        )
+        # read back the materialized seed rows (snapshot-pinned) for the
+        # enqueued-set registration instead of recomputing the plan
+        self.enqueued.add(
+            self.store.read_or_empty("frontier", FRONTIER), -1, assume_new=True
+        )
         self._checkpoint(-1, RoundStats(round=-1), [])
 
     # -------------------------------------------------------------- round
@@ -220,39 +270,31 @@ class CrawlEngine:
         # fetch path); unpersisted with the round's own frames below.
         self._round_persists: list[DataFrame] = []
 
-        frontier = store.read_or_empty("frontier", FRONTIER)
-        ready, not_ready = scheduler.split_ready(frontier, r)
-        n_ready = ready.count()
-        if n_ready == 0:
-            self._write_round_outputs(r, stats, None, None, None, None, not_ready)
+        # idle check from parquet footer stats only (no Spark job):
+        # nothing in the frontier is ready before round min(exetime).
+        min_exe = store.min_column_stat("frontier", "exetime")
+        if min_exe is not None and int(min_exe) > r:
+            self._write_round_outputs(r, stats, None, None, None, None, None)
             return stats
 
-        # vetted rows (politeness-deferred or retry re-entries) already
-        # passed dedup+seen+robots in the round that first saw them — they
-        # bypass re-vetting so per-round work is O(new links), not
-        # O(frontier backlog).
-        vetted_rows = ready.filter(F.col("vetted"))
-        fresh_ready = ready.filter(~F.col("vetted"))
-
-        batch = scheduler.dedup_batch(fresh_ready)
-        unseen = self.seen.filter_unseen(batch)
-        # fresh re-discovery of a URL already queued (vetted, not yet
-        # popped→not yet in seen) is a duplicate: one anti-join drops it
-        # (previously caught by the all-rows dedup window).
-        novel = unseen.join(
-            vetted_rows.select("url_canon"), on="url_canon", how="left_anti"
-        )
-        robots = store.read_or_empty("robots", ROBOTS)
-        marked = scheduler.robots_mark(novel, robots)
-        candidates = marked.unionByName(vetted_rows.withColumn("_blk", F.lit(False)))
+        frontier = store.read_or_empty("frontier", FRONTIER)
+        ready, _parked = scheduler.split_ready(frontier, r)
+        # frontier ∖ popped: rows are pre-vetted at discovery time, so
+        # exclusion of pop tombstones is the ONLY per-round read-side
+        # maintenance; no dedup/seen/robots re-vetting of the backlog.
+        candidates = self._exclude_tombstoned(ready)
+        # effective exetime: under politeness-deferral semantics every
+        # ready row's exetime equals the current round (deferred rows
+        # are re-timestamped r+1, new links enter at r+1, seeds surface
+        # at their seed round) — derive it instead of rewriting the
+        # backlog each round.
+        candidates = candidates.withColumn("exetime", F.lit(r).cast("long"))
 
         config = store.read_or_empty("config", CONFIG)
-        # the whole vet+rank chain materializes exactly ONCE into this
-        # cached frame; one groupBy yields popped/deferred/blocked, and
-        # the popped/deferred splits are cache reads.
-        # persist the host-level ranking FIRST so the global-budget
-        # threshold job (a tiny TakeOrdered) reads the cache instead of
-        # recomputing the ranking windows.
+        # the rank chain materializes exactly ONCE into this cached
+        # frame; one groupBy yields popped/deferred and the popped split
+        # is a cache read. Persisted FIRST so the global-budget threshold
+        # job (a tiny TakeOrdered) also reads the cache.
         ranked_cached = scheduler.rank_adaptive(
             candidates, config, None, count_on=ready
         ).persist(CACHE)
@@ -260,24 +302,20 @@ class CrawlEngine:
         if self.global_budget is not None:
             ranked = scheduler.apply_global_budget(ranked_cached, self.global_budget)
         fate = {
-            (row["_pop"], row["_blk"]): row["count"]
-            for row in ranked.groupBy("_pop", "_blk").count().collect()
+            row["_pop"]: row["count"]
+            for row in ranked.groupBy("_pop").count().collect()
         }
-        stats.popped = int(fate.get((True, False), 0))
-        stats.deferred_politeness = int(fate.get((False, False), 0))
-        stats.robots_blocked = int(fate.get((False, True), 0))
-        # deduped = (in-batch dups) + (seen-filtered) = ready - candidates
-        # — derived, not another count job.
-        stats.deduped = n_ready - (
-            stats.popped + stats.deferred_politeness + stats.robots_blocked
-        )
-        popped = ranked.filter(F.col("_pop")).drop("_pop", "_blk")
-        deferred = (
-            ranked.filter(~F.col("_pop") & ~F.col("_blk"))
-            .drop("_pop", "_blk")
-            .withColumn("exetime", F.lit(r + 1).cast("long"))
-            .withColumn("vetted", F.lit(True))
-        )
+        stats.popped = int(fate.get(True, 0))
+        stats.deferred_politeness = int(fate.get(False, 0))
+        if stats.popped == 0:
+            ranked_cached.unpersist()
+            self._write_round_outputs(r, stats, None, None, None, None, None)
+            return stats
+        popped = ranked.filter(F.col("_pop")).drop("_pop")
+        # deferred rows are NOT written anywhere: deferral is implicit —
+        # the row stays in the append-only frontier and re-enters next
+        # round's ranking with derived exetime. Per-round frontier write
+        # I/O is O(popped + new links), never O(backlog).
 
         if self.collect_pop_sequence:
             seq = (
@@ -311,7 +349,7 @@ class CrawlEngine:
         new_links_raw = stages.links_from_list(ok).unionByName(
             stages.links_from_api(parsed_api)
         )
-        new_rows = self._build_new_frontier_rows(new_links_raw, r).persist()
+        new_rows = self._vet_new_links(new_links_raw, r, stats).persist()
         stats.new_links = new_rows.count()
 
         items = stages.detail_items(ok, r)
@@ -332,14 +370,14 @@ class CrawlEngine:
             .select(*[f.name for f in FRONTIER.fields])
         )
 
-        frontier_after = (
-            not_ready.select(*[f.name for f in FRONTIER.fields])
-            .unionByName(deferred.select(*[f.name for f in FRONTIER.fields]))
-            .unionByName(requeue_rows)
-            .unionByName(new_rows)
+        frontier_delta = requeue_rows.unionByName(
+            new_rows.select(*[f.name for f in FRONTIER.fields])
         )
 
-        self._write_round_outputs(r, stats, popped, items, api_items, images, frontier_after)
+        self._write_round_outputs(
+            r, stats, popped, items, api_items, images, frontier_delta,
+            new_rows=new_rows,
+        )
 
         for df in (ranked_cached, results, ok, requeue, parsed_api, new_rows, *self._round_persists):
             df.unpersist()
@@ -431,9 +469,30 @@ class CrawlEngine:
         )
         return hits.unionByName(fetched.select(*result_cols))
 
-    def _build_new_frontier_rows(self, links: DataFrame, r: int) -> DataFrame:
-        """Canonicalize discovered links, derive stage/priority, dedup the
-        batch deterministically (first parent by url_canon order)."""
+    def _exclude_tombstoned(self, ready: DataFrame) -> DataFrame:
+        """frontier ∖ popped, keyed (url_canon, retries). Tombstones
+        since the last compaction are small — O(rounds_since × pops) —
+        so under BROADCAST_TOMB_MAX the anti-join broadcasts them and
+        the backlog side never shuffles."""
+        n = self.store.count_rows("tomb")
+        if n == 0:
+            return ready
+        from .schemas import TOMB
+
+        tomb = self.store.read_or_empty("tomb", TOMB).select("url_canon", "retries")
+        if n <= BROADCAST_TOMB_MAX:
+            tomb = F.broadcast(tomb)
+        return ready.join(tomb, on=["url_canon", "retries"], how="left_anti")
+
+    def _vet_new_links(self, links: DataFrame, r: int, stats: RoundStats) -> DataFrame:
+        """Canonicalize discovered links and vet them at DISCOVERY time:
+        in-batch first-parent dedup → enqueued-set membership (bloom
+        prefilter + exact verify; covers seen, queued, and every earlier
+        discovery) → robots. Survivors are final frontier rows (vetted
+        once, never re-vetted); dropped rows are never written at all.
+        Counters land in this round's stats: ``deduped`` = in-batch dups
+        + enqueued hits, ``robots_blocked`` at discovery round."""
+        n_raw = links.count()
         canon = links.withColumn("url_canon", canonicalize_udf("url")).withColumn(
             "host", host_of(F.col("url_canon"))
         )
@@ -449,8 +508,23 @@ class CrawlEngine:
             F.col("_b.url").alias("url"),
             F.col("_b.parent").alias("parent"),
             F.col("_b.host").alias("host"),
-        )
-        return canon.select(
+        ).persist()
+        self._round_persists.append(canon)
+        n_batch = canon.count()
+        novel = self.enqueued.filter_unseen(canon)
+        robots_df = self.store.read_or_empty("robots", ROBOTS)
+        marked = scheduler.robots_mark(novel, robots_df).persist()
+        self._round_persists.append(marked)
+        cmap = {
+            row["_blk"]: row["count"]
+            for row in marked.groupBy("_blk").count().collect()
+        }
+        n_blocked = int(cmap.get(True, 0))
+        n_kept = int(cmap.get(False, 0))
+        stats.deduped += (n_raw - n_batch) + (n_batch - n_blocked - n_kept)
+        stats.robots_blocked += n_blocked
+        survivors = marked.filter(~F.col("_blk")).drop("_blk")
+        return survivors.select(
             "url",
             "url_canon",
             "host",
@@ -465,19 +539,30 @@ class CrawlEngine:
             F.pmod(F.xxhash64("url_canon"), F.lit(scheduler.N_SALT))
             .cast("int")
             .alias("salt"),
-            F.lit(False).alias("vetted"),
+            F.lit(True).alias("vetted"),
         )
 
     def _write_round_outputs(
-        self, r, stats, popped, items, api_items, images, frontier_after
+        self, r, stats, popped, items, api_items, images, frontier_delta,
+        new_rows=None,
     ) -> None:
         """Write all round outputs; every counter after the writes comes
         from parquet-footer metadata (manifest statistics), not from
-        extra Spark count jobs — the per-round fixed cost is writes only."""
+        extra Spark count jobs — the per-round fixed cost is writes only.
+        All frontier maintenance is incremental: a tombstone append for
+        popped rows and a delta append for requeue+new rows."""
+        from .schemas import TOMB
+
         store = self.store
         if popped is not None:
             first_pops = popped.filter(F.col("retries") == 0)
             self.seen.add(first_pops, r, assume_new=True)
+            store.append(
+                "tomb",
+                popped.select("url_canon", "retries").withColumn(
+                    "round", F.lit(r).cast("int")
+                ),
+            )
         if items is not None:
             store.append("items", items.select(*[f.name for f in ITEMS.fields]))
             stats.items_emitted = store.last_append_rows("items")
@@ -493,22 +578,33 @@ class CrawlEngine:
             stats.images_landed = store.last_append_rows("images")
             if self.detect_near_dup_images and stats.images_landed > 0:
                 self._detect_near_dups(r, prior_images, had_prior)
-        store.overwrite("frontier", frontier_after.select(*[f.name for f in FRONTIER.fields]))
-        self.last_frontier_rows = store.count_rows("frontier")
+        lineage = []
+        if frontier_delta is not None:
+            store.append(
+                "frontier",
+                frontier_delta.select(*[f.name for f in FRONTIER.fields]),
+            )
+            lineage = self._partition_lineage(r)
+        if new_rows is not None:
+            # register this round's vetted discoveries in the enqueued
+            # membership set (reads the delta from cache/plan, O(new))
+            self.enqueued.add(new_rows, r, assume_new=True)
+        # live backlog = appended rows minus pop tombstones, both from
+        # parquet footers (tombstones match frontier rows 1:1)
+        self.last_frontier_rows = store.count_rows("frontier") - store.count_rows("tomb")
 
         metrics_row = self.spark.createDataFrame([stats.__dict__], METRICS)
         store.append("metrics", metrics_row)
 
-        lineage = self._partition_lineage(r)
         self._checkpoint(r, stats, lineage)
 
     def _partition_lineage(self, r: int) -> list[dict]:
-        """Per-write-partition row counts of the frontier-after state
+        """Per-write-partition row counts of THIS round's frontier delta
         (north rule: checkpoint carries per-partition lineage) — read
-        from parquet footers, one entry per data file."""
+        from parquet footers, one entry per data file of the append."""
         return [
             {"round": r, "file": os.path.basename(f), "rows": int(n)}
-            for f, n in self.store.file_rows("frontier")
+            for f, n in self.store.last_append_file_rows("frontier")
         ]
 
     # ---------------------------------------------------------------- run
@@ -522,7 +618,9 @@ class CrawlEngine:
         else:
             self.bootstrap()
             start = 0
-        self.last_frontier_rows = self.store.count_rows("frontier")
+        self.last_frontier_rows = self.store.count_rows(
+            "frontier"
+        ) - self.store.count_rows("tomb")
         all_stats = []
         for r in range(start, max_rounds):
             stats = self.run_round(r)
@@ -534,16 +632,35 @@ class CrawlEngine:
         return all_stats
 
     def _compact(self, r: int) -> None:
-        """Periodic state compaction: OR-merge accumulated bloom blobs
-        so reads stay O(partitions), not O(rounds). Content-equivalent
-        (pure merge), so resume correctness is unaffected — old dirs
-        stay reachable from earlier snapshots until vacuum."""
+        """Periodic state compaction, all content-equivalent (resume
+        correctness unaffected; old dirs stay reachable from earlier
+        snapshots until vacuum):
+
+        - frontier: fold pop tombstones in (rewrite live rows only) and
+          truncate ``tomb`` — bounds the anti-join side and the table's
+          dead-row fraction to O(COMPACT_EVERY × pops).
+        - bloom blobs: OR-merge accumulated per-round blobs so reads
+          stay O(partitions), not O(rounds).
+        """
         import numpy as np
 
         from . import neardup
-        from .schemas import SEEN_FILTERS
+        from .schemas import SEEN_FILTERS, TOMB
+
+        if self.store.count_rows("tomb") > 0:
+            tomb = self.store.read_or_empty("tomb", TOMB).select(
+                "url_canon", "retries"
+            )
+            live = self.store.read_or_empty("frontier", FRONTIER).join(
+                tomb, on=["url_canon", "retries"], how="left_anti"
+            )
+            self.store.overwrite(
+                "frontier", live.select(*[f.name for f in FRONTIER.fields])
+            )
+            self.store.overwrite("tomb", self.spark.createDataFrame([], TOMB))
 
         self.seen.compact_filters(r)
+        self.enqueued.compact_filters(r)
         rows = self.store.read_or_empty("phash_filters", SEEN_FILTERS).collect()
         if len(rows) > 1:
             acc = np.zeros(neardup.PHASH_BLOOM_BITS // 8, dtype=np.uint8)

@@ -189,11 +189,29 @@ FETCH_CACHE = T.StructType(
     ]
 )
 
+# Pop tombstones over the append-only frontier: one row per popped
+# frontier row, keyed (url_canon, retries). The frontier is never
+# rewritten per round — candidates = frontier ∖ tomb; compaction
+# periodically rewrites the frontier minus tombstones and truncates
+# this table, so it stays O(rounds-since-compaction × pops).
+TOMB = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("retries", T.IntegerType(), False),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
 TABLE_SCHEMAS = {
     "frontier": FRONTIER,
     "images": IMAGES,
     "seen": SEEN,
     "seen_filters": SEEN_FILTERS,
+    # url-ever-enqueued membership set (dedup at link-discovery time);
+    # same shape as the seen set, maintained by the same SeenSet class.
+    "enqueued": SEEN,
+    "enqueued_filters": SEEN_FILTERS,
+    "tomb": TOMB,
     "items": ITEMS,
     "api_items": API_ITEMS,
     "metrics": METRICS,

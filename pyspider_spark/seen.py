@@ -101,14 +101,21 @@ class SeenSet:
         n_partitions: int = DEFAULT_PARTITIONS,
         n_bits: int = DEFAULT_BITS_PER_PARTITION,
         use_bloom: bool = True,
+        table: str = "seen",
+        filters_table: str = "seen_filters",
     ):
         self.store = store
         self.P = n_partitions
         self.n_bits = n_bits
         self.use_bloom = use_bloom
+        # the same machinery backs any url-keyed membership set: the
+        # crawl uses a second instance over ("enqueued",
+        # "enqueued_filters") for dedup at link-discovery time.
+        self.table = table
+        self.filters_table = filters_table
 
     def read(self) -> DataFrame:
-        return self.store.read_or_empty("seen", SEEN)
+        return self.store.read_or_empty(self.table, SEEN)
 
     def filter_unseen(self, candidates: DataFrame, url_col: str = "url_canon") -> DataFrame:
         """Return candidates whose url_canon is NOT in the seen set.
@@ -124,7 +131,7 @@ class SeenSet:
                 how="left_anti",
             )
 
-        filters = self.store.read_or_empty("seen_filters", SEEN_FILTERS)
+        filters = self.store.read_or_empty(self.filters_table, SEEN_FILTERS)
         # Only (url, pid) go through the Python cogroup: Arrow serde of
         # the full frontier row (map + many strings) costs more than the
         # bloom probe itself and does not parallelize well.
@@ -184,9 +191,9 @@ class SeenSet:
             .withColumn("partition_id", partition_id_col(F.col("url_canon"), self.P))
         )
         if assume_new:
-            self.store.append("seen", rows.select(*[f.name for f in SEEN.fields]))
+            self.store.append(self.table, rows.select(*[f.name for f in SEEN.fields]))
         else:
-            self.store.merge_insert_if_absent("seen", rows, "url_canon", SEEN)
+            self.store.merge_insert_if_absent(self.table, rows, "url_canon", SEEN)
         if self.use_bloom:
             n_bits = self.n_bits
 
@@ -203,14 +210,14 @@ class SeenSet:
                 )
 
             blobs = rows.groupBy("partition_id").applyInPandas(build, schema=SEEN_FILTERS)
-            self.store.append("seen_filters", blobs)
+            self.store.append(self.filters_table, blobs)
 
     def compact_filters(self, round_no: int) -> None:
         """OR-merge each partition's accumulated per-round blobs into
         one. Without this, filter_unseen reads O(rounds) blobs per
         partition per round — at a long crawl that read amplification
         dominates the probe cost."""
-        filters = self.store.read_or_empty("seen_filters", SEEN_FILTERS)
+        filters = self.store.read_or_empty(self.filters_table, SEEN_FILTERS)
         n_bits = self.n_bits
 
         def merge(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -224,4 +231,4 @@ class SeenSet:
             )
 
         merged = filters.groupBy("partition_id").applyInPandas(merge, schema=SEEN_FILTERS)
-        self.store.overwrite("seen_filters", merged)
+        self.store.overwrite(self.filters_table, merged)

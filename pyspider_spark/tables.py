@@ -181,6 +181,44 @@ class TableStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(snap["dirs"][-1])
 
+    def last_append_file_rows(self, name: str) -> list[tuple[str, int]]:
+        """(file, rows) of ONLY the most recent append's data dir."""
+        m = self._load_manifest(name)
+        snap = self._snapshot(m, None)
+        if not snap or not snap["dirs"]:
+            return []
+        return parquet_file_rows([snap["dirs"][-1]])
+
+    def min_column_stat(self, name: str, column: str):
+        """Minimum of a column's value across the current snapshot, read
+        from parquet column-chunk statistics only (driver-side footer
+        metadata, no Spark job). Returns None if the table is empty or
+        any chunk lacks stats — callers must treat None as unknown."""
+        m = self._load_manifest(name)
+        snap = self._snapshot(m, None)
+        if not snap:
+            return None
+        best = None
+        for d in snap["dirs"]:
+            if not os.path.isdir(d):
+                continue
+            for f in os.listdir(d):
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(d, f)).metadata
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for c in range(rg.num_columns):
+                        col = rg.column(c)
+                        if col.path_in_schema != column:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            return None
+                        if best is None or st.min < best:
+                            best = st.min
+        return best
+
     def last_append_rows(self, name: str) -> int:
         """Rows landed by the most recent append/overwrite (its data dir
         is the last in the current snapshot's dir list)."""

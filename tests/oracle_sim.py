@@ -7,6 +7,16 @@ with max_retries cap; robots prefix filter; seen-set exactly-once) as
 ~150 lines of in-memory Python over the same deterministic synthetic
 graph (pyspider_spark.synth). The engine's per-round pop sequences,
 counters, items, and final seen set must match this byte-for-byte.
+
+Vet-at-discovery contract (mirrors the engine's incremental frontier):
+links are vetted when DISCOVERED — in-batch first-parent dedup, then
+the enqueued-membership check (covers seen, queued, and every earlier
+discovery), then robots — and only survivors enter the frontier, so
+``deduped``/``robots_blocked``/``new_links`` count at the discovery
+round. Deferral never touches a row (its effective exetime is the
+current round by construction), and popped rows leave the frontier;
+pop order within a round is the north-rule total order with the
+derived exetime, i.e. (priority desc, url_canon asc).
 """
 
 from __future__ import annotations
@@ -43,6 +53,7 @@ class OracleEngine:
     spec: GraphSpec
     global_budget: int | None = None
     frontier: list[Row] = field(default_factory=list)
+    enqueued: set[str] = field(default_factory=set)
     seen: set[str] = field(default_factory=set)
     items: list[tuple] = field(default_factory=list)
     api_items: list[tuple] = field(default_factory=list)
@@ -65,7 +76,12 @@ class OracleEngine:
     def bootstrap(self) -> None:
         for raw in synth.seed_urls(self.spec):
             uc = canonicalize_url(raw)
+            if uc in self.enqueued:
+                continue
             host = uc.split("://", 1)[-1].split("/", 1)[0]
+            if self._disallowed(host, _path_of(uc)):
+                continue
+            self.enqueued.add(uc)
             self.frontier.append(
                 Row(
                     url=raw,
@@ -85,40 +101,15 @@ class OracleEngine:
             robots_blocked=0, new_links=0, items_emitted=0, images_landed=0,
         )
         ready = [x for x in self.frontier if x.exetime <= r]
-        not_ready = [x for x in self.frontier if x.exetime > r]
+        parked = [x for x in self.frontier if x.exetime > r]
 
-        # within-batch dedup (scheduler.dedup_batch ordering)
-        best: dict[str, Row] = {}
-        for x in sorted(
-            ready,
-            key=lambda x: (
-                -x.priority, x.exetime, -x.retries, x.round_added, x.stage,
-                x.url, x.lineage or "",
-            ),
-        ):
-            best.setdefault(x.url_canon, x)
-        m["deduped"] += len(ready) - len(best)
-
-        # seen filter (fresh rows only; retries bypass)
-        candidates = []
-        for x in best.values():
-            if x.retries == 0 and x.url_canon in self.seen:
-                m["deduped"] += 1
-            else:
-                candidates.append(x)
-
-        # robots
-        allowed = []
-        for x in candidates:
-            if self._disallowed(x.host, _path_of(x.url_canon)):
-                m["robots_blocked"] += 1
-            else:
-                allowed.append(x)
-
+        # rows are pre-vetted at discovery; no per-round dedup/seen/
+        # robots. Effective exetime == r for every ready row, so the
+        # north-rule order reduces to (priority desc, url_canon asc).
         # per-host budget then global cap
-        order = lambda x: (-x.priority, x.exetime, x.url_canon)
+        order = lambda x: (-x.priority, x.url_canon)
         by_host: dict[str, list[Row]] = {}
-        for x in allowed:
+        for x in ready:
             by_host.setdefault(x.host, []).append(x)
         selected, deferred = [], []
         for host, rows in by_host.items():
@@ -130,8 +121,8 @@ class OracleEngine:
         if self.global_budget is not None:
             deferred += selected[self.global_budget :]
             selected = selected[: self.global_budget]
-        for x in deferred:
-            x.exetime = r + 1
+        # deferral writes nothing: deferred rows keep their entry
+        # exetime and re-enter next round (effective exetime == round)
         m["deferred_politeness"] = len(deferred)
         m["popped"] = len(selected)
         self.pop_sequences[r] = [x.url_canon for x in selected]
@@ -161,7 +152,8 @@ class OracleEngine:
             m["fetched_ok"] += 1
             self._parse(x, res, r, m, new_rows_raw)
 
-        # new-rows batch dedup (first parent by (url_canon, parent) order)
+        # vet-at-discovery: first-parent in-batch dedup, then enqueued
+        # membership, then robots; only survivors enter the frontier.
         new_best: dict[str, Row] = {}
         for parent, url in sorted(new_rows_raw, key=lambda t: (canonicalize_url(t[1]), t[0])):
             uc = canonicalize_url(url)
@@ -173,9 +165,19 @@ class OracleEngine:
                 priority=synth.priority_of(uc), exetime=r + 1,
                 stage=synth.stage_of(uc), round_added=r, lineage=parent,
             )
-        m["new_links"] = len(new_best)
+        m["deduped"] += len(new_rows_raw) - len(new_best)
+        appended = []
+        for uc, row in new_best.items():
+            if uc in self.enqueued:
+                m["deduped"] += 1
+            elif self._disallowed(row.host, _path_of(uc)):
+                m["robots_blocked"] += 1
+            else:
+                self.enqueued.add(uc)
+                appended.append(row)
+        m["new_links"] = len(appended)
 
-        self.frontier = not_ready + deferred + requeues + list(new_best.values())
+        self.frontier = parked + deferred + requeues + appended
         self.metrics[r] = m
         return m
 
