@@ -67,6 +67,7 @@ ALL_TABLES = [
     "frontier", "tomb", "enqueued", "enqueued_filters",
     "seen", "seen_filters", "items", "api_items", "images",
     "metrics", "near_dup_images", "fetch_cache", "phash_filters",
+    "image_bands",
 ]
 
 COMPACT_EVERY = 8  # rounds between frontier/bloom compactions
@@ -383,45 +384,31 @@ class CrawlEngine:
             df.unpersist()
         return stats
 
-    def _detect_near_dups(self, r: int, prior_images: DataFrame, had_prior: bool) -> None:
+    def _detect_near_dups(self, r: int) -> None:
         """J5: phash near-dup pairs for this round's images — banded
-        self-join within the batch, plus a broadcast-bloom-prefiltered
-        banded join against the prior corpus. Non-destructive: pairs
-        land in near_dup_images; the images table keeps every row.
-
-        The corpus bloom is maintained INCREMENTALLY in phash_filters
-        (one blob appended per round, OR-merged on read) — the prior
-        corpus is never rescanned to build it."""
-        import numpy as np
-
+        self-join within the batch, plus an incremental-index lookup
+        against the prior corpus (neardup.BandIndex: per-round appended
+        band rows + right-sized per-partition blooms; the corpus is
+        never re-exploded and round cost is O(new images) probe +
+        O(touched partitions) verify read). Non-destructive: pairs land
+        in near_dup_images; the images table keeps every row."""
         from . import neardup
-        from .schemas import SEEN_FILTERS
 
         store = self.store
+        idx = neardup.BandIndex(store)
         new_imgs = store.read_last_append("images", IMAGES).select("image_id", "phash")
         pairs = neardup.near_dup_pairs(new_imgs, new_imgs, r)
-        if had_prior:
-            blob_rows = store.read_or_empty("phash_filters", SEEN_FILTERS).collect()
-            if blob_rows:
-                acc = np.zeros(neardup.PHASH_BLOOM_BITS // 8, dtype=np.uint8)
-                for row in blob_rows:
-                    acc |= np.frombuffer(bytes(row.filter), dtype=np.uint8)
-                prior = prior_images.select("image_id", "phash")
-                cand = neardup.bloom_prefilter(new_imgs, acc.tobytes())
-                pairs = pairs.unionByName(
-                    neardup.near_dup_pairs(cand, prior, r, cross=True)
-                ).dropDuplicates(["image_id", "dup_of"])
+        if idx.has_corpus():
+            cand = idx.candidate_images(new_imgs)
+            pairs = pairs.unionByName(
+                idx.pairs_vs_corpus(cand, r)
+            ).dropDuplicates(["image_id", "dup_of"])
         store.append(
             "near_dup_images",
             pairs.select(*[f.name for f in neardup.NEAR_DUP_IMAGES.fields]),
         )
-        # append this round's band blob for future rounds' pre-filters
-        new_blob = neardup.build_band_bloom(new_imgs)
-        n_new = store.last_append_rows("images")
-        blob_df = self.spark.createDataFrame(
-            [(0, r, n_new, bytearray(new_blob))], SEEN_FILTERS
-        )
-        store.append("phash_filters", blob_df)
+        # index this round's images for future rounds' lookups
+        idx.append_round(new_imgs, r)
 
     def _fetch_with_memo(self, popped: DataFrame, r: int) -> DataFrame:
         """S14/J2 at engine level: cache-aside around the fetcher. Hits
@@ -570,14 +557,12 @@ class CrawlEngine:
             store.append("api_items", api_items.select(*[f.name for f in API_ITEMS.fields]))
             stats.items_emitted += store.last_append_rows("api_items")
         if images is not None:
-            # pin the pre-append snapshot: the near-dup bloom must cover
-            # only PRIOR images, else every new image hits its own bands
-            prior_images = store.read_or_empty("images", IMAGES)
-            had_prior = store.count_rows("images") > 0
             store.append("images", images.select(*[f.name for f in IMAGES.fields]))
             stats.images_landed = store.last_append_rows("images")
+            # the band index is appended AFTER the corpus lookup inside,
+            # so this round's images never match their own bands
             if self.detect_near_dup_images and stats.images_landed > 0:
-                self._detect_near_dups(r, prior_images, had_prior)
+                self._detect_near_dups(r)
         lineage = []
         if frontier_delta is not None:
             store.append(
@@ -642,10 +627,8 @@ class CrawlEngine:
         - bloom blobs: OR-merge accumulated per-round blobs so reads
           stay O(partitions), not O(rounds).
         """
-        import numpy as np
-
         from . import neardup
-        from .schemas import SEEN_FILTERS, TOMB
+        from .schemas import TOMB
 
         if self.store.count_rows("tomb") > 0:
             tomb = self.store.read_or_empty("tomb", TOMB).select(
@@ -661,14 +644,7 @@ class CrawlEngine:
 
         self.seen.compact_filters(r)
         self.enqueued.compact_filters(r)
-        rows = self.store.read_or_empty("phash_filters", SEEN_FILTERS).collect()
-        if len(rows) > 1:
-            acc = np.zeros(neardup.PHASH_BLOOM_BITS // 8, dtype=np.uint8)
-            n = 0
-            for row in rows:
-                acc |= np.frombuffer(bytes(row.filter), dtype=np.uint8)
-                n += int(row.n_items)
-            merged = self.spark.createDataFrame(
-                [(0, r, n, bytearray(acc.tobytes()))], SEEN_FILTERS
-            )
-            self.store.overwrite("phash_filters", merged)
+        # band-index blobs: rebuild one right-sized blob per partition
+        # (also resolves any saturation accumulated from round appends)
+        if self.store.count_rows("image_bands") > 0:
+            neardup.BandIndex(self.store).compact(r)

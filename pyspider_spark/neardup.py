@@ -99,6 +99,197 @@ def bloom_prefilter(new_images: DataFrame, blob: bytes, n_bits: int = PHASH_BLOO
     return new_images.join(hits, on="image_id", how="left_semi")
 
 
+N_BAND_PARTITIONS = 64
+BAND_BLOB_BITS_MIN = 1 << 14  # floor for one round's per-partition blob
+BITS_PER_KEY = 16  # ≈0.1% FPR at 5 hashes
+SATURATION_DENSITY = 0.3  # set-bit fraction that forces a blob resize
+
+
+def band_pid(col):
+    """Routes a band key to its bloom-blob partition (and is the
+    row-group pruning key on the image_bands table)."""
+    return F.pmod(F.xxhash64(col), F.lit(N_BAND_PARTITIONS)).cast("int")
+
+
+def _sized_bloom(keys: pd.Series, n_bits_floor: int) -> bytes:
+    """Bloom blob sized from the actual key count, with explicit
+    saturation detection: if the built blob's set-bit density exceeds
+    SATURATION_DENSITY the size doubles and the build repeats — a
+    saturated blob silently passes everything, degrading the prefilter
+    to a full corpus join."""
+    import numpy as np
+
+    n_bits = max(n_bits_floor, BAND_BLOB_BITS_MIN)
+    want = 1 << (max(1, len(keys) * BITS_PER_KEY) - 1).bit_length()
+    n_bits = max(n_bits, want)
+    while True:
+        blob = bloom_build(keys, n_bits)
+        density = np.unpackbits(np.frombuffer(blob, dtype=np.uint8)).mean()
+        if density <= SATURATION_DENSITY:
+            return blob
+        n_bits *= 2
+
+
+class BandIndex:
+    """Incremental banded-LSH index over the image corpus (J5 at scale).
+
+    Replaces the round-1 design that re-exploded the ENTIRE images table
+    into band keys every round (O(corpus) scan+shuffle per round) and
+    OR-merged fixed 1 MiB driver-held blooms (which saturate and then
+    pass everything at ~10^5 images):
+
+    - ``image_bands``: append-only (band_key, image_id, phash, pid),
+      written once per round for that round's NEW images only, sorted by
+      pid so corpus reads prune row groups via parquet min/max stats.
+    - ``phash_filters``: per-partition bloom blobs sized from the actual
+      key count (seen.py pattern), appended per round and rebuilt
+      right-sized at compaction; probes check each blob independently so
+      blobs of different sizes coexist.
+
+    Round cost: candidate detection is a cogrouped bloom probe over the
+    NEW images' band keys (O(new)); the verify join reads only the
+    corpus partitions (pids) that candidates actually touch, with the
+    candidate side broadcast — the corpus side never shuffles.
+    """
+
+    def __init__(self, store, bands_table: str = "image_bands",
+                 filters_table: str = "phash_filters"):
+        from .schemas import IMAGE_BANDS, SEEN_FILTERS
+
+        self.store = store
+        self.bands_table = bands_table
+        self.filters_table = filters_table
+        self._BANDS = IMAGE_BANDS
+        self._FILTERS = SEEN_FILTERS
+
+    def _bands_of(self, images: DataFrame) -> DataFrame:
+        return (
+            band_keys(images.select("image_id", "phash"))
+            .withColumn("pid", band_pid(F.col("band_key")))
+            .select("band_key", "image_id", "phash", "pid")
+        )
+
+    def append_round(self, new_images: DataFrame, round_no: int) -> None:
+        """Index this round's new images: append their band rows (sorted
+        by pid for stats pruning) and one right-sized bloom blob per
+        touched partition."""
+        rows = self._bands_of(new_images).sort("pid")
+        self.store.append(self.bands_table, rows)
+        FILTERS = self._FILTERS
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(pdf["pid"].iloc[0])
+            return pd.DataFrame(
+                {
+                    "partition_id": [pid],
+                    "round": [round_no],
+                    "n_items": [len(pdf)],
+                    "filter": [_sized_bloom(pdf["band_key"], BAND_BLOB_BITS_MIN)],
+                }
+            )
+
+        blobs = (
+            self.store.read_last_append(self.bands_table, self._BANDS)
+            .groupBy("pid")
+            .applyInPandas(build, schema=FILTERS)
+        )
+        self.store.append(self.filters_table, blobs)
+
+    def has_corpus(self) -> bool:
+        return self.store.count_rows(self.bands_table) > 0
+
+    def candidate_images(self, new_images: DataFrame) -> DataFrame:
+        """New images with ≥1 band key maybe-present in the corpus —
+        cogrouped per-partition probe, ships only (image_id, band_key)."""
+        from pyspark.sql import types as T
+
+        filters = self.store.read_or_empty(self.filters_table, self._FILTERS)
+        slim = (
+            band_keys(new_images.select("image_id", "phash"))
+            .select("image_id", "band_key")
+            .withColumn("_pid", band_pid(F.col("band_key")))
+        )
+
+        def flag(cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(cand_pdf) == 0 or len(filt_pdf) == 0:
+                return pd.DataFrame({"image_id": pd.Series([], dtype=object)})
+            maybe = None
+            for blob in filt_pdf["filter"]:
+                b = bytes(blob)
+                hit = bloom_maybe_contains(cand_pdf["band_key"], b, len(b) * 8)
+                maybe = hit if maybe is None else (maybe | hit)
+            return cand_pdf.loc[maybe, ["image_id"]]
+
+        ids = (
+            slim.groupBy("_pid")
+            .cogroup(
+                filters.withColumnRenamed("partition_id", "_pid").groupBy("_pid")
+            )
+            .applyInPandas(
+                flag, schema=T.StructType([T.StructField("image_id", T.StringType())])
+            )
+            .dropDuplicates(["image_id"])
+        )
+        return new_images.join(ids, on="image_id", how="left_semi")
+
+    def pairs_vs_corpus(
+        self, cand_images: DataFrame, round_no: int, max_hamming: int = MAX_HAMMING
+    ) -> DataFrame:
+        """Exact verify: candidate band keys (broadcast) against the
+        stored corpus band rows. The corpus side is a columnar scan
+        pruned to the pids candidates touch (pid IN-filter hits parquet
+        row-group stats — the table is pid-sorted per append); it never
+        shuffles, and the full images table is never re-exploded."""
+        a = self._bands_of(cand_images).select(
+            "band_key", F.col("image_id"), F.col("phash").alias("ph_a"), "pid"
+        )
+        pids = [r["pid"] for r in a.select("pid").distinct().collect()]
+        if not pids:
+            return cand_images.sparkSession.createDataFrame([], NEAR_DUP_IMAGES)
+        corpus = (
+            self.store.read_or_empty(self.bands_table, self._BANDS)
+            .filter(F.col("pid").isin(pids))
+            .select(
+                "band_key",
+                F.col("image_id").alias("dup_of"),
+                F.col("phash").alias("ph_b"),
+            )
+        )
+        return (
+            corpus.join(F.broadcast(a.drop("pid")), on="band_key")
+            .filter(F.col("image_id") != F.col("dup_of"))
+            .select(
+                "image_id",
+                "dup_of",
+                F.expr("cast(bit_count(ph_a ^ ph_b) as int)").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["image_id", "dup_of"])
+            .withColumn("round", F.lit(round_no).cast("int"))
+        )
+
+    def compact(self, round_no: int) -> None:
+        """Rebuild one right-sized blob per partition from the stored
+        band rows (bounds probe cost to O(partitions) blobs and resolves
+        any saturation accumulated from per-round appends)."""
+        bands = self.store.read_or_empty(self.bands_table, self._BANDS)
+        FILTERS = self._FILTERS
+
+        def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(pdf["pid"].iloc[0])
+            return pd.DataFrame(
+                {
+                    "partition_id": [pid],
+                    "round": [round_no],
+                    "n_items": [len(pdf)],
+                    "filter": [_sized_bloom(pdf["band_key"], BAND_BLOB_BITS_MIN)],
+                }
+            )
+
+        merged = bands.groupBy("pid").applyInPandas(rebuild, schema=FILTERS)
+        self.store.overwrite(self.filters_table, merged)
+
+
 def near_dup_pairs(
     new_images: DataFrame,
     corpus: DataFrame,

@@ -202,6 +202,19 @@ TOMB = T.StructType(
     ]
 )
 
+# Incremental banded-LSH index over image phashes (J5): one row per
+# (band, image), appended once per round for that round's NEW images
+# only — the corpus is never re-exploded. pid routes a band key to its
+# bloom blob partition and is the row-group pruning key for reads.
+IMAGE_BANDS = T.StructType(
+    [
+        T.StructField("band_key", T.StringType(), False),
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("pid", T.IntegerType(), False),
+    ]
+)
+
 TABLE_SCHEMAS = {
     "frontier": FRONTIER,
     "images": IMAGES,
@@ -212,6 +225,7 @@ TABLE_SCHEMAS = {
     "enqueued": SEEN,
     "enqueued_filters": SEEN_FILTERS,
     "tomb": TOMB,
+    "image_bands": IMAGE_BANDS,
     "items": ITEMS,
     "api_items": API_ITEMS,
     "metrics": METRICS,

@@ -13,8 +13,17 @@ from pyspider_spark.synth import GraphSpec
 # ---------------------------------------------------------------- neardup
 
 
+def _i64(v: int) -> int:
+    """Signed-int64 view of an unsigned 64-bit value (what phash64
+    returns; Spark LongType NULLs anything above 2^63-1)."""
+    v &= 0xFFFFFFFFFFFFFFFF
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
 def imgs_df(spark, rows):
-    return spark.createDataFrame(rows, ["image_id", "phash"])
+    return spark.createDataFrame(
+        [(i, _i64(p)) for i, p in rows], ["image_id", "phash"]
+    )
 
 
 def test_near_dup_exact_and_close(spark):
@@ -66,6 +75,68 @@ def test_crawl_writes_near_dup_table(spark, tmp_path_factory):
     # table exists and any reported pair is within the guaranteed radius
     rows = nd.collect()
     assert all(r.hamming <= neardup.MAX_HAMMING for r in rows)
+
+
+# ----------------------------------------------------- incremental index
+
+
+def _brute_pairs(rows):
+    """All unordered near-dup pairs (hamming ≤ MAX_HAMMING) by brute force."""
+    out = set()
+    for i, (ia, pa) in enumerate(rows):
+        for ib, pb in rows[i + 1 :]:
+            if bin((pa ^ pb) & 0xFFFFFFFFFFFFFFFF).count("1") <= neardup.MAX_HAMMING:
+                out.add(frozenset((ia, ib)))
+    return out
+
+
+def test_band_index_matches_bruteforce(spark, tmp_path_factory):
+    """Driving the incremental BandIndex over 4 rounds of appends (with
+    a compaction in the middle) finds EXACTLY the pairs a brute-force
+    all-pairs scan finds — planted near-dups across and within rounds."""
+    from pyspider_spark.tables import TableStore
+
+    base = 0x0123456789ABCDEF
+    far = 0x7EDCBA9876543210
+    rounds = [
+        [("r0a", base), ("r0b", far)],
+        [("r1a", base ^ 0b11), ("r1b", far ^ (1 << 40))],      # dups of r0
+        [("r2a", 0x5555AAAA5555AAAA), ("r2b", 0x5555AAAA5555AAAB)],  # in-batch dup
+        [("r3a", base ^ (1 << 63)), ("r3b", 0x1111222233334444)],    # dup of r0a/r1a
+    ]
+    wd = str(tmp_path_factory.mktemp("bandidx"))
+    store = TableStore(spark, wd)
+    idx = neardup.BandIndex(store)
+    got = set()
+    for r, batch in enumerate(rounds):
+        new = imgs_df(spark, batch)
+        pairs = neardup.near_dup_pairs(new, new, r)
+        if idx.has_corpus():
+            cand = idx.candidate_images(new)
+            pairs = pairs.unionByName(idx.pairs_vs_corpus(cand, r)).dropDuplicates(
+                ["image_id", "dup_of"]
+            )
+        got |= {frozenset((p.image_id, p.dup_of)) for p in pairs.collect()}
+        idx.append_round(new, r)
+        if r == 1:
+            idx.compact(r)
+
+    all_rows = [t for batch in rounds for t in batch]
+    want = _brute_pairs(all_rows)
+    assert got == want and len(want) >= 3
+
+
+def test_sized_bloom_grows_and_stays_sparse(spark):
+    import pandas as pd
+
+    small = neardup._sized_bloom(pd.Series([f"k{i}" for i in range(10)]), 0)
+    big = neardup._sized_bloom(pd.Series([f"k{i}" for i in range(200_000)]), 0)
+    assert len(big) > len(small)
+    import numpy as np
+
+    for blob in (small, big):
+        density = np.unpackbits(np.frombuffer(blob, dtype=np.uint8)).mean()
+        assert density <= neardup.SATURATION_DENSITY
 
 
 # ------------------------------------------------------------ fetch cache
