@@ -798,6 +798,48 @@ REGISTRY["d_simhash_pairs"].sql = f"""
     """
 
 
+@register("d_phash_pairs", None)
+def d_phash_pairs(spark, sf_dir):
+    """J5: phash near-dup pairs via the SAME banded-LSH + exact-hamming
+    operator the crawl's BandIndex uses (neardup.near_dup_pairs), over a
+    deterministic synthetic 64-bit phash per document: 31 lang-derived
+    high bits (same-lang docs share them) + 16 doc-derived noise bits,
+    so true near-dups (hamming ≤ 7) exist across every language group.
+    Oracled with the identical 8×8-bit band join in DuckDB."""
+    from .data.dedup import h32_sql
+    from .neardup import near_dup_pairs
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    hi = h32_sql("'pb:' || lang")
+    lo = h32_sql("'pn:' || cast(doc_id as string)")
+    phash = f"cast(({hi} & 2147483647) * 4294967296 + ({lo} & 65535) as bigint)"
+    imgs = docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.expr(phash).alias("phash"),
+    )
+    return near_dup_pairs(imgs, imgs, 0)
+
+
+REGISTRY["d_phash_pairs"].sql = f"""
+    WITH ph AS (
+      SELECT CAST(doc_id AS VARCHAR) AS image_id,
+             CAST(({D.h32_duck("'pb:' || lang")} & 2147483647) * 4294967296
+                  + ({D.h32_duck("'pn:' || CAST(doc_id AS VARCHAR)")} & 65535) AS BIGINT) AS phash
+      FROM documents WHERE doc_id < 300
+    ),
+    bands AS (
+      SELECT image_id, phash,
+             unnest([{', '.join(f"concat('{b}:', CAST((phash >> {8 * b}) & 255 AS VARCHAR))" for b in range(8))}]) AS band_key
+      FROM ph
+    )
+    SELECT DISTINCT l.image_id AS image_id, r.image_id AS dup_of,
+           CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming,
+           CAST(0 AS INT) AS round
+    FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.image_id > r.image_id
+    WHERE bit_count(xor(l.phash, r.phash)) <= 7
+    """
+
+
 @register(
     "s_dot_topk",
     f"""
@@ -841,9 +883,87 @@ def s_ann_lsh(spark, sf_dir):
     return S.ann_lsh_topk(load(spark, sf_dir, "embeddings"), n_queries=20, k=5)
 
 
+def _sig_duck(qv: str) -> str:
+    """DuckDB mirror of similarity.lsh_signature_q_expr (table 0):
+    integer plane dots over the quantized vector — order-independent."""
+    terms = []
+    for p in range(S.N_PLANES):
+        comp = (
+            f"(CASE WHEN (('0x' || substr(md5(concat('plane:0:{p}:', "
+            f"CAST(i - 1 AS VARCHAR))), 1, 8))::BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
+        )
+        dot = (
+            f"list_aggregate(list_transform(range(1, len({qv}) + 1), "
+            f"i -> {qv}[i] * {comp}), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _cosbp_duck(qa: str, qb: str) -> str:
+    dot = (
+        f"list_aggregate(list_transform(range(1, len({qa}) + 1), "
+        f"i -> {qa}[i] * {qb}[i]), 'sum')"
+    )
+    n2a = f"list_aggregate(list_transform({qa}, x -> x * x), 'sum')"
+    n2b = f"list_aggregate(list_transform({qb}, x -> x * x), 'sum')"
+    return (
+        f"CAST(floor(10000.0 * {dot} / "
+        f"greatest(sqrt(CAST({n2a} AS DOUBLE) * CAST({n2b} AS DOUBLE)), 1e-9)) AS BIGINT)"
+    )
+
+
 @register("d_embed_neardup", None)
 def d_embed_neardup(spark, sf_dir):
-    return S.embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"), min_cos_bp=5000)
+    """Embedding-cosine near-dup over a fixture with PLANTED near-dups:
+    each base vector (vec_id < 100) gets a twin (vec_id + 1e6) with
+    ±0.3% hash-derived per-component noise, so true pairs (cos ≥ .99)
+    exist by construction — the check can never be vacuous. Integer LSH
+    signatures bucket; quantized-cosine verifies (both bit-portable to
+    the DuckDB oracle)."""
+    from .data.dedup import h32_sql
+
+    base = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    noise = h32_sql("concat('tw:', cast(vec_id as string), ':', cast(i as string))")
+    twins = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            f"transform(embedding, (x, i) -> cast(x as double) * "
+            f"(1.0 + ({noise} % 7 - 3) / 1000.0))"
+        ).alias("embedding"),
+    )
+    based = base.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    return S.embedding_near_dup_pairs_q(based.unionByName(twins), min_cos_bp=9900)
+
+
+REGISTRY["d_embed_neardup"].sql = f"""
+    WITH src AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE) * (1.0 +
+                 ({D.h32_duck("concat('tw:', CAST(vec_id AS VARCHAR), ':', CAST(i - 1 AS VARCHAR))")} % 7 - 3) / 1000.0)
+             ) AS embedding
+      FROM embeddings WHERE vec_id < 100
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(x * {S.QUANT}) AS BIGINT)) AS qv
+      FROM src
+    ),
+    s AS (SELECT vec_id, qv, {_sig_duck('qv')} AS sig FROM q),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.qv AS qa, b.qv AS qb
+      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, {_cosbp_duck('qa', 'qb')} AS cos_bp
+    FROM p WHERE {_cosbp_duck('qa', 'qb')} >= 9900
+    """
 
 
 @register("m_image_pipeline", None)
