@@ -35,17 +35,30 @@ _FETCH_COLS = [
 ]
 
 
+# per-request external params (U4/P15) riding along for the real
+# fetcher: ua / proxy / headers are consumed inside the batch and
+# dropped from the result (FETCH_RESULTS schema is unchanged)
+_PARAM_COLS = ["ua", "proxy", "headers"]
+
+
 def run_fetch(popped: DataFrame, spec: synth.GraphSpec) -> DataFrame:
     """popped frontier rows -> FETCH_RESULTS rows."""
+    cols = _FETCH_COLS + [c for c in _PARAM_COLS if c in popped.columns]
 
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _fetch_batch(pdf, spec)
 
-    return popped.select(*_FETCH_COLS).mapInPandas(fetch_partition, schema=FETCH_RESULTS)
+    return popped.select(*cols).mapInPandas(fetch_partition, schema=FETCH_RESULTS)
 
 
 def _fetch_batch(pdf: pd.DataFrame, spec: synth.GraphSpec) -> pd.DataFrame:
+    """The real-network swap point: an async HTTP pool would issue one
+    request per row here using pdf['url_canon'] with pdf['ua'] /
+    pdf['proxy'] / pdf['headers'] (when attached by
+    params.with_request_params). The simulator derives the response
+    from the URL alone — the params ride along so the swap is purely
+    local to this function."""
     statuses, bodies, links, imgs = [], [], [], []
     for u in pdf["url_canon"]:
         r = synth.fetch_sim(spec, u)
@@ -58,7 +71,7 @@ def _fetch_batch(pdf: pd.DataFrame, spec: synth.GraphSpec) -> pd.DataFrame:
     out["body"] = bodies
     out["out_links"] = links
     out["image_refs"] = imgs
-    return out
+    return out[[f.name for f in FETCH_RESULTS.fields]]
 
 
 IMAGE_OUT_BATCH = 256  # rows per yielded frame: image payloads are

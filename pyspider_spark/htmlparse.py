@@ -1,0 +1,191 @@
+"""Real HTML parsing for the parse stages (P5), stdlib-only.
+
+The reference parses arbitrary pages with BeautifulSoup
+(reference common/response.py:48-53 ``html_tree``; selector use in
+spiders/amazon/crawl_goods_list.py:53-96 — ``find_all(tag, {"class":
+...})``, ``.find(...).get(attr)``, ``.string``, ``.parent`` chains, ''
+defaults on missing fields). This module reproduces that surface on
+``html.parser.HTMLParser`` (always available — no external wheel), and
+exposes Arrow-BATCH-shaped helpers so the Spark side stays a
+``mapInPandas`` over (url, body) — the one unavoidable Python spot in
+the pipeline, amortized per batch, never per row.
+
+Tolerant by construction: unmatched close tags are ignored, void
+elements (img/br/…) never open scopes, an open <p>/<li> is implicitly
+closed by the next block element — enough for the messy tag soup real
+listings pages are (see tests/test_htmlparse.py).
+
+The regex extractors in stages.py remain the fast path for the regular
+synthetic corpus; ``CrawlEngine(html_parser=True)`` swaps this parser
+into the SAME stage functions with byte-identical output on that
+corpus.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+
+VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+# an open <p>/<li>/<td>… is implicitly closed when one of these starts
+_AUTOCLOSE = {
+    "p": {"p", "div", "ul", "ol", "table", "section", "article"},
+    "li": {"li"},
+    "td": {"td", "tr"},
+    "tr": {"tr"},
+    "option": {"option"},
+}
+
+
+class Node:
+    """Minimal DOM node with the BeautifulSoup-ish surface the
+    reference's parse callbacks use."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "_text")
+
+    def __init__(self, tag: str, attrs: dict[str, str], parent: "Node | None"):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Node] = []
+        self.parent = parent
+        self._text: list[str] = []
+
+    # ---- BS4-ish API ------------------------------------------------
+    def get(self, attr: str, default=None):
+        return self.attrs.get(attr, default)
+
+    @property
+    def string(self) -> str | None:
+        """Own text content (direct text, stripped) — '' stays None-ish
+        like BS4's .string on empty elements."""
+        t = "".join(self._text).strip()
+        return t if t else None
+
+    def text(self) -> str:
+        """All descendant text, concatenated."""
+        parts = ["".join(self._text)]
+        for c in self.children:
+            parts.append(c.text())
+        return "".join(parts)
+
+    def _matches(self, tag: str | None, attrs: dict | None) -> bool:
+        if tag is not None and self.tag != tag:
+            return False
+        for k, v in (attrs or {}).items():
+            mine = self.attrs.get(k)
+            if mine is None:
+                return False
+            if k == "class":
+                # BS4 semantics on multi-valued class: exact attr match
+                # OR all requested classes present
+                if mine != v and not set(v.split()) <= set(mine.split()):
+                    return False
+            elif mine != v:
+                return False
+        return True
+
+    def find_all(self, tag: str | None = None, attrs: dict | None = None) -> list["Node"]:
+        out = []
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            if n._matches(tag, attrs):
+                out.append(n)
+            stack.extend(reversed(n.children))
+        return out
+
+    def find(self, tag: str | None = None, attrs: dict | None = None) -> "Node | None":
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            if n._matches(tag, attrs):
+                return n
+            stack.extend(reversed(n.children))
+        return None
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("[document]", {}, None)
+        self.cur = self.root
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        # implicit close (tag soup tolerance)
+        while self.cur is not self.root and tag in _AUTOCLOSE.get(self.cur.tag, ()):
+            self.cur = self.cur.parent
+        node = Node(tag, {k.lower(): (v if v is not None else "") for k, v in attrs}, self.cur)
+        self.cur.children.append(node)
+        if tag not in VOID_TAGS:
+            self.cur = node
+
+    def handle_startendtag(self, tag, attrs):
+        tag = tag.lower()
+        node = Node(tag, {k.lower(): (v if v is not None else "") for k, v in attrs}, self.cur)
+        self.cur.children.append(node)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        # close the nearest matching open ancestor; ignore unmatched
+        n = self.cur
+        while n is not self.root:
+            if n.tag == tag:
+                self.cur = n.parent
+                return
+            n = n.parent
+
+    def handle_data(self, data):
+        self.cur._text.append(data)
+
+
+def parse_html(text: str | None) -> Node:
+    """Parse (possibly messy) HTML into a Node tree. Never raises on
+    malformed input — worst case the tree is flat."""
+    b = _TreeBuilder()
+    try:
+        b.feed(text or "")
+        b.close()
+    except Exception:
+        pass  # keep whatever tree was built before the parser choked
+    return b.root
+
+
+# --------------------------------------------------------------- batch API
+def links_batch(bodies: pd.Series) -> pd.Series:
+    """Per-document link harvest: every <a href> and <img src> value, in
+    document order (the reference's link fan-out, Q9). Batch-shaped for
+    mapInPandas."""
+    out = []
+    for body in bodies:
+        root = parse_html(body)
+        links = [a.attrs["href"] for a in root.find_all("a") if "href" in a.attrs]
+        links += [i.attrs["src"] for i in root.find_all("img") if "src" in i.attrs]
+        out.append(links)
+    return pd.Series(out, index=bodies.index, dtype=object)
+
+
+def fields_batch(bodies: pd.Series, spec: list[tuple]) -> pd.DataFrame:
+    """Per-document field extraction with '' defaults (P6 — the
+    reference's per-field try/except, crawl_goods_list.py:57-91).
+
+    ``spec``: list of (name, tag, attrs, what) where ``what`` is
+    ``"text"`` (node text) or ``"@attr"`` (attribute value)."""
+    cols: dict[str, list[str]] = {name: [] for name, *_ in spec}
+    for body in bodies:
+        root = parse_html(body)
+        for name, tag, attrs, what in spec:
+            node = root.find(tag, attrs)
+            val = ""
+            if node is not None:
+                if what == "text":
+                    val = (node.string or node.text().strip() or "")
+                elif what.startswith("@"):
+                    val = node.get(what[1:], "") or ""
+            cols[name].append(val)
+    return pd.DataFrame(cols, index=bodies.index)

@@ -138,6 +138,7 @@ class CrawlEngine:
         collect_pop_sequence: bool = False,
         fetch_cache_ttl_rounds: int | None = None,
         detect_near_dup_images: bool = True,
+        html_parser: bool = False,
     ):
         self.spark = spark
         self.spec = spec
@@ -157,6 +158,11 @@ class CrawlEngine:
         self.pop_sequences: dict[int, list[str]] = {}
         self.fetch_cache_ttl_rounds = fetch_cache_ttl_rounds
         self.detect_near_dup_images = detect_near_dup_images
+        # html_parser=True swaps the regex extractors for the real
+        # Arrow-batched HTML parser (stages.links_from_list_html /
+        # detail_items_html) — byte-identical on the synthetic corpus,
+        # required for arbitrary real pages (P5).
+        self.html_parser = html_parser
         self.last_frontier_rows = 0
         self._round_persists: list[DataFrame] = []
         self._ledger_path = os.path.join(workdir, "_manifests", "rounds.json")
@@ -326,7 +332,11 @@ class CrawlEngine:
             )
             self.pop_sequences[r] = [row.url_canon for row in seq]
 
-        results = self._fetch_with_memo(popped, r).persist(CACHE)
+        # attach the per-request external-param surface (U4/P15:
+        # deterministic UA/proxy/header rotation per (url, retry))
+        from .params import with_request_params
+
+        results = self._fetch_with_memo(with_request_params(popped), r).persist(CACHE)
         ok, requeue, exhausted = scheduler.split_fetch_outcomes(results, CAPTCHA_MARKER)
         ok = ok.persist(CACHE)
         requeue = requeue.persist()
@@ -347,13 +357,19 @@ class CrawlEngine:
 
         # parse
         parsed_api = stages.parse_api(ok).persist()
-        new_links_raw = stages.links_from_list(ok).unionByName(
+        links_fn = (
+            stages.links_from_list_html if self.html_parser else stages.links_from_list
+        )
+        new_links_raw = links_fn(ok).unionByName(
             stages.links_from_api(parsed_api)
         )
         new_rows = self._vet_new_links(new_links_raw, r, stats).persist()
         stats.new_links = new_rows.count()
 
-        items = stages.detail_items(ok, r)
+        items_fn = (
+            stages.detail_items_html if self.html_parser else stages.detail_items
+        )
+        items = items_fn(ok, r)
         api_items = stages.api_items(parsed_api, r)
         images = materialize_images(ok, spec)
 
@@ -487,7 +503,7 @@ class CrawlEngine:
         # scheduler.dedup_batch for why this beats a row_number window)
         canon = canon.groupBy("url_canon").agg(
             F.min_by(
-                F.struct(F.col("url"), F.col("parent"), F.col("host")),
+                F.struct(F.col("url"), F.col("parent"), F.col("host"), F.col("meta")),
                 F.struct(F.col("parent"), F.col("url")),
             ).alias("_b")
         ).select(
@@ -495,6 +511,7 @@ class CrawlEngine:
             F.col("_b.url").alias("url"),
             F.col("_b.parent").alias("parent"),
             F.col("_b.host").alias("host"),
+            F.col("_b.meta").alias("meta"),
         ).persist()
         self._round_persists.append(canon)
         n_batch = canon.count()
@@ -520,7 +537,7 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("retries"),
             F.lit(3).cast("int").alias("max_retries"),
             stage_col(F.col("url_canon")).alias("stage"),
-            F.lit(None).cast("map<string,string>").alias("meta"),
+            F.col("meta"),
             F.lit(r).cast("int").alias("round_added"),
             F.col("parent").alias("lineage"),
             F.pmod(F.xxhash64("url_canon"), F.lit(scheduler.N_SALT))

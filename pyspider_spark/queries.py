@@ -667,9 +667,9 @@ def d_exact_dedup(spark, sf_dir):
     return D.exact_dedup_keep_first(load(spark, sf_dir, "documents"))
 
 
-def _minhash_cte() -> str:
+def _minhash_cte(k: int = D.SHINGLE_K) -> str:
     """Shared DuckDB CTE producing (doc_id, shingles, mh0.., band0..)."""
-    sh = D._shingle_duck(_TOKS_DUCK, D.SHINGLE_K)
+    sh = D._shingle_duck(_TOKS_DUCK, k)
     mh_cols = []
     for i in range(D.N_MINHASH):
         seeded = f"'{i}:' || h::VARCHAR"
@@ -737,20 +737,29 @@ REGISTRY["d_minhash_pairs"].sql = f"""
 
 @register("d_ngram_jaccard", None)
 def d_ngram_jaccard(spark, sf_dir):
+    """LSH-blocked by default (see dedup.ngram_jaccard_pairs): the
+    oracle mirrors the banding exactly, so hash-parity holds at any
+    threshold/recall."""
     docs = load(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, threshold_bp=500)
 
 
 REGISTRY["d_ngram_jaccard"].sql = f"""
-    WITH sh AS (
-      SELECT doc_id, lang, {D._shingle_duck(_TOKS_DUCK, D.NGRAM_K)} AS shingles
-      FROM documents
+    WITH {_minhash_cte(D.NGRAM_K)},
+    bx AS (
+      SELECT doc_id, shingles, unnest([{', '.join(f'band{b}' for b in range(D.N_BANDS))}]) AS band_key
+      FROM bands
     ),
-    nz AS (SELECT * FROM sh WHERE len(shingles) > 0)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           {D.jaccard_bp_duck('a.shingles', 'b.shingles')} AS jaccard_bp
-    FROM nz a JOIN nz b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE {D.jaccard_bp_duck('a.shingles', 'b.shingles')} >= 500
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bx l JOIN bx r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           {D.jaccard_bp_duck('sa.shingles', 'sb.shingles')} AS jaccard_bp
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE {D.jaccard_bp_duck('sa.shingles', 'sb.shingles')} >= 500
     """
 
 

@@ -79,6 +79,12 @@ def repair_backslashes(col):
     return F.regexp_replace(col, r'\\(?![/u"\\])', r"\\\\")
 
 
+def _parent_meta():
+    """meta for a discovered link: parent context the reference threads
+    through Request(meta=...) (common/example.py:43)."""
+    return F.create_map(F.lit("parent"), F.col("url_canon"))
+
+
 def links_from_list(ok: DataFrame) -> DataFrame:
     """list-stage: harvest <a href> + <img src> targets → one url per row."""
     lst = ok.filter(F.col("stage") == "list")
@@ -87,6 +93,7 @@ def links_from_list(ok: DataFrame) -> DataFrame:
     return lst.select(
         F.col("url_canon").alias("parent"),
         F.explode(F.concat(hrefs, imgs)).alias("url"),
+        _parent_meta().alias("meta"),
     )
 
 
@@ -101,6 +108,14 @@ def links_from_api(parsed_api: DataFrame) -> DataFrame:
             F.col("cat"),
             F.col("page") + F.lit(1),
         ).alias("url"),
+        # page counters travel in meta (Q10/P12 ≙ common/example.py:57-59):
+        # the next api fetch reads its context from here, body parse is
+        # the fallback
+        F.create_map(
+            F.lit("parent"), F.col("url_canon"),
+            F.lit("cat"), F.col("cat").cast("string"),
+            F.lit("page"), (F.col("page") + F.lit(1)).cast("string"),
+        ).alias("meta"),
     )
     return nxt
 
@@ -111,11 +126,21 @@ def parse_api(ok: DataFrame) -> DataFrame:
     parsed = api.withColumn(
         "_js", F.from_json(repair_backslashes(jsonp_unwrap(F.col("body"))), API_BODY_SCHEMA)
     )
+    # parent context from meta is authoritative when present (the
+    # reference reads response.meta counters); the body echo is the
+    # fallback for context-free entry pages. Identical values on the
+    # synthetic corpus — gated byte-identical by the e2e oracle.
     return parsed.select(
         "url_canon",
         "host",
-        F.col("_js.result.data.cat").alias("cat"),
-        F.col("_js.result.data.page").alias("page"),
+        F.coalesce(
+            F.element_at(F.col("meta"), "cat").cast("int"),
+            F.col("_js.result.data.cat"),
+        ).alias("cat"),
+        F.coalesce(
+            F.element_at(F.col("meta"), "page").cast("int"),
+            F.col("_js.result.data.page"),
+        ).alias("page"),
         F.coalesce(F.col("_js.result.data.items"), F.array()).alias("items"),
     )
 
@@ -133,6 +158,87 @@ def api_items(parsed_api: DataFrame, round_no: int) -> DataFrame:
         "host",
         F.lit(round_no).cast("int").alias("round"),
     )
+
+
+def links_from_list_html(ok: DataFrame) -> DataFrame:
+    """P5, real-parser variant of :func:`links_from_list`: the SAME
+    (parent, url) output via an Arrow-batched stdlib-HTML-parser UDF —
+    the swap point for arbitrary/messy pages (reference
+    common/response.py:48-53 + crawl_cate_link.py:50-87). On the
+    regular synthetic corpus it is byte-identical to the regex path
+    (tests/test_htmlparse.py gates that)."""
+    import pandas as pd
+
+    from .htmlparse import links_batch
+
+    lst = ok.filter(F.col("stage") == "list").select(
+        F.col("url_canon").alias("parent"), "body"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            links = links_batch(pdf["body"])
+            out = pd.DataFrame(
+                {"parent": pdf["parent"], "url": links}
+            ).explode("url").dropna(subset=["url"])
+            out["meta"] = [{"parent": p} for p in out["parent"]]
+            yield out
+
+    schema = T.StructType(
+        [
+            T.StructField("parent", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    return lst.mapInPandas(run, schema=schema)
+
+
+# detail-page field spec: (output column, tag, attrs, what). The
+# synthetic corpus marks fields with span ids; a real deployment swaps
+# this spec for class-based selectors (e.g. ("price", "span",
+# {"class": "a-offscreen"}, "text") per crawl_goods_list.py:66-68).
+DETAIL_FIELD_SPEC = [
+    ("asin_id", "span", {"id": "asin"}, "text"),
+    ("img_url", "span", {"id": "img"}, "text"),
+    ("goods_name", "span", {"id": "name"}, "text"),
+    ("star_rating", "span", {"id": "star"}, "text"),
+    ("price", "span", {"id": "price"}, "text"),
+    ("goods_detail_link", "span", {"id": "dlink"}, "text"),
+    ("goods_comment_num", "span", {"id": "cnum"}, "text"),
+    ("goods_comment_link", "span", {"id": "clink"}, "text"),
+]
+
+
+def detail_items_html(ok: DataFrame, round_no: int, spec=None) -> DataFrame:
+    """P5/P6, real-parser variant of :func:`detail_items`: same item
+    schema, fields extracted by selector spec with '' defaults through
+    the batched HTML parser."""
+    import pandas as pd
+
+    from .htmlparse import fields_batch
+
+    spec = spec or DETAIL_FIELD_SPEC
+    det = ok.filter(F.col("stage") == "detail").select(
+        F.col("url_canon").alias("src_url_canon"), "body"
+    )
+    names = [name for name, *_ in spec]
+
+    def run(batches):
+        for pdf in batches:
+            fields = fields_batch(pdf["body"], spec)
+            fields["src_url_canon"] = pdf["src_url_canon"].values
+            fields["round"] = round_no
+            yield fields[names + ["src_url_canon", "round"]]
+
+    schema = T.StructType(
+        [T.StructField(n, T.StringType()) for n in names]
+        + [
+            T.StructField("src_url_canon", T.StringType()),
+            T.StructField("round", T.IntegerType()),
+        ]
+    )
+    return det.mapInPandas(run, schema=schema)
 
 
 def _span(body, span_id: str):

@@ -44,3 +44,21 @@ def test_entry_contract(spark):
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_ngram_lsh_vs_exact_properties(spark):
+    """The LSH-blocked default must (a) find every high-jaccard pair
+    the lang-blocked exact variant finds, and (b) find cross-lang
+    duplicates the lang block structurally misses."""
+    from pyspider_spark.data import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lsh = {(r.doc_a, r.doc_b): r.jaccard_bp
+           for r in D.ngram_jaccard_pairs(docs, 500).collect()}
+    exact = {(r.doc_a, r.doc_b): r.jaccard_bp
+             for r in D.ngram_jaccard_pairs_exact(docs, 500).collect()}
+    high = {k for k, v in exact.items() if v >= 9000}
+    assert high and high <= set(lsh), "missed a high-jaccard same-lang pair"
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    cross = [k for k in lsh if langs.get(k[0]) != langs.get(k[1])]
+    assert cross, "LSH blocking should surface cross-lang duplicates"
