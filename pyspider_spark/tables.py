@@ -68,7 +68,16 @@ class TableStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # optional external mirrors (S9 Kafka / S11 JDBC — sinks.py):
+        # [(sink, tables-or-None)]; appends to a matching table also
+        # land in the sink (at-least-once under crash replay).
+        self.mirrors: list[tuple] = []
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+
+    def add_mirror(self, sink, tables: set[str] | None = None) -> None:
+        """Mirror future appends of ``tables`` (None = all) to ``sink``
+        (an object with ``write(name, df)``)."""
+        self.mirrors.append((sink, tables))
 
     # ---------- manifest plumbing ----------
     def _manifest_path(self, name: str) -> str:
@@ -138,6 +147,10 @@ class TableStore:
         m["snapshots"].append({"id": sid, "op": "append", "dirs": dirs})
         m["current"] = sid
         self._commit_manifest(name, m)
+        for sink, tables in self.mirrors:
+            if tables is None or name in tables:
+                # mirror the landed rows (re-read: immutable, exact)
+                sink.write(name, self.spark.read.parquet(d))
         return sid
 
     def overwrite(self, name: str, df: DataFrame) -> int:
