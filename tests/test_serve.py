@@ -1,0 +1,66 @@
+"""Serving-layer cache-aside tests (SURVEY.md §3.3, reference
+main.py:9-32 + app/api/jingxi.py:12-29 + config/db_setup.py:21-45)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pyspider_spark.schemas import ITEMS
+from pyspider_spark.serve import ServingCache, keyword_search, serve_keyword_search
+from pyspider_spark.tables import TableStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    st = TableStore(spark, str(tmp_path / "serve"))
+    rows = [
+        (f"a{i:02d}", f"img{i}", f"goods widget-{i % 3}", "4.0", "$1.00",
+         f"https://h/detail/a{i:02d}", "5", "c", f"https://h/detail/a{i:02d}", 0)
+        for i in range(25)
+    ]
+    st.overwrite("items", spark.createDataFrame(rows, ITEMS))
+    return st
+
+
+def test_cache_aside_miss_then_hit(store):
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return '{"n": 1}'
+
+    c = ServingCache(store, ttl_ticks=3)
+    v1, hit1 = c.cache("t", "k", compute, tick=0)
+    v2, hit2 = c.cache("t", "k", compute, tick=1)
+    assert (v1, hit1) == ('{"n": 1}', False)
+    assert (v2, hit2) == ('{"n": 1}', True)
+    assert len(calls) == 1  # compute ran once
+
+
+def test_cache_ttl_expiry_and_last_write_wins(store):
+    c = ServingCache(store, ttl_ticks=3)
+    c.put("t", "k", "old", tick=0)
+    c.put("t", "k", "new", tick=2)
+    assert c.get("t", "k", tick=2) == "new"  # newest write wins
+    assert c.get("t", "k", tick=4) == "new"  # tick 2 still fresh at 4
+    assert c.get("t", "k", tick=6) is None  # both expired
+
+
+def test_keyword_search_paging_deterministic(store, spark):
+    items = store.read("items")
+    p1 = [r["asin_id"] for r in keyword_search(items, "widget-1", 1, 5).collect()]
+    p2 = [r["asin_id"] for r in keyword_search(items, "widget-1", 2, 5).collect()]
+    want = sorted(
+        r["asin_id"]
+        for r in items.filter(F.col("goods_name").contains("widget-1")).collect()
+    )
+    assert p1 == want[:5] and p2 == want[5:10]
+    assert not set(p1) & set(p2)
+
+
+def test_serve_endpoint_roundtrip(store, spark):
+    r1 = serve_keyword_search(spark, store, "widget-2", 1, tick=0)
+    r2 = serve_keyword_search(spark, store, "widget-2", 1, tick=1)
+    assert r1["code"] == 0 and not r1["cache_hit"]
+    assert r2["cache_hit"] and r2["data"] == r1["data"]
+    assert all("widget-2" in row["goods_name"] for row in r1["data"])
+    assert len(r1["data"]) > 0
