@@ -65,9 +65,9 @@ from .tables import TableStore
 
 ALL_TABLES = [
     "frontier", "tomb", "enqueued", "enqueued_filters",
-    "seen", "seen_filters", "items", "api_items", "images",
-    "metrics", "near_dup_images", "fetch_cache", "phash_filters",
-    "image_bands",
+    "seen", "seen_filters", "items", "api_items", "sales_items",
+    "images", "metrics", "near_dup_images", "fetch_cache",
+    "phash_filters", "image_bands",
 ]
 
 COMPACT_EVERY = 8  # rounds between frontier/bloom compactions
@@ -104,8 +104,10 @@ def _seed_exetime_udf():
 def stage_col(url_canon):
     """stage from URL path — JVM-side CASE (mirrors synth.stage_of)."""
     head = F.regexp_extract(url_canon, r"://[^/]+/([a-z]+)", 1)
+    is_sales = F.regexp_extract(url_canon, r"://[^/]+/api/sales(\?|$)", 0) != ""
     return (
-        F.when(head.isin("list", "detail", "api", "img"), head)
+        F.when(is_sales, F.lit("sales"))
+        .when(head.isin("list", "detail", "api", "img"), head)
         .otherwise(F.lit("list"))
     )
 
@@ -139,6 +141,7 @@ class CrawlEngine:
         fetch_cache_ttl_rounds: int | None = None,
         detect_near_dup_images: bool = True,
         html_parser: bool = False,
+        batch_sales: bool = True,
     ):
         self.spark = spark
         self.spec = spec
@@ -163,6 +166,10 @@ class CrawlEngine:
         # detail_items_html) — byte-identical on the synthetic corpus,
         # required for arbitrary real pages (P5).
         self.html_parser = html_parser
+        # Q12 engine-level chunked batch fetch: roll each round's newly
+        # discovered skus into one sales request per chunk_size ids
+        # (reference jingxi_category_sales.py:112-118).
+        self.batch_sales = batch_sales
         self.last_frontier_rows = 0
         self._round_persists: list[DataFrame] = []
         self._ledger_path = os.path.join(workdir, "_manifests", "rounds.json")
@@ -357,12 +364,19 @@ class CrawlEngine:
 
         # parse
         parsed_api = stages.parse_api(ok).persist()
+        api_items = stages.api_items(parsed_api, r)
         links_fn = (
             stages.links_from_list_html if self.html_parser else stages.links_from_list
         )
         new_links_raw = links_fn(ok).unionByName(
             stages.links_from_api(parsed_api)
         )
+        if self.batch_sales:
+            # Q12: this round's skus roll up into batch sales requests
+            # that enter the frontier like any discovered link
+            new_links_raw = new_links_raw.unionByName(
+                stages.sales_chunk_links(api_items, spec.sales_chunk_size)
+            )
         new_rows = self._vet_new_links(new_links_raw, r, stats).persist()
         stats.new_links = new_rows.count()
 
@@ -370,7 +384,7 @@ class CrawlEngine:
             stages.detail_items_html if self.html_parser else stages.detail_items
         )
         items = items_fn(ok, r)
-        api_items = stages.api_items(parsed_api, r)
+        sales = stages.sales_items(ok, r) if self.batch_sales else None
         images = materialize_images(ok, spec)
 
         requeue_rows = (
@@ -393,7 +407,7 @@ class CrawlEngine:
 
         self._write_round_outputs(
             r, stats, popped, items, api_items, images, frontier_delta,
-            new_rows=new_rows,
+            new_rows=new_rows, sales=sales,
         )
 
         for df in (ranked_cached, results, ok, requeue, parsed_api, new_rows, *self._round_persists):
@@ -548,7 +562,7 @@ class CrawlEngine:
 
     def _write_round_outputs(
         self, r, stats, popped, items, api_items, images, frontier_delta,
-        new_rows=None,
+        new_rows=None, sales=None,
     ) -> None:
         """Write all round outputs; every counter after the writes comes
         from parquet-footer metadata (manifest statistics), not from
@@ -573,6 +587,13 @@ class CrawlEngine:
         if api_items is not None:
             store.append("api_items", api_items.select(*[f.name for f in API_ITEMS.fields]))
             stats.items_emitted += store.last_append_rows("api_items")
+        if sales is not None:
+            from .schemas import SALES_ITEMS
+
+            store.append(
+                "sales_items", sales.select(*[f.name for f in SALES_ITEMS.fields])
+            )
+            stats.items_emitted += store.last_append_rows("sales_items")
         if images is not None:
             store.append("images", images.select(*[f.name for f in IMAGES.fields]))
             stats.images_landed = store.last_append_rows("images")

@@ -442,6 +442,62 @@ def o2_topk_orders(spark, sf_dir):
     )
 
 
+# O1 reverse doc-order iteration (ref crawl_goods_list.py:47 `docs[::-1]`,
+# processing the harvested list newest-first): per-user, rank events in
+# REVERSE time order and keep the 3 most recent. The window partitions by
+# user_id, so state per task is bounded by one user's events — no global
+# sort, scales by key cardinality.
+@register(
+    "o1_reverse_docorder",
+    """
+    SELECT user_id, event_id, rev_pos FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rev_pos
+      FROM events
+    ) WHERE rev_pos <= 3
+    """,
+)
+def o1_reverse_docorder(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rev_pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("rev_pos") <= 3)
+        .select("user_id", "event_id", "rev_pos")
+    )
+
+
+# P16 JSON serialize (ref json.dumps before every Redis/Kafka push,
+# jingxi_category_gather.py:43, crawl_goods_list.py:104): JVM-side
+# to_json of a typed struct — compact, declared key order, no Python
+# dict marshalling. DuckDB's to_json(struct_pack(...)) emits the
+# identical byte form, so this is hash-gated, not rows-only.
+@register(
+    "p16_json_serialize",
+    """
+    SELECT o_orderkey,
+           to_json(struct_pack(k := o_orderkey, s := o_orderstatus,
+                               p := o_orderpriority)) AS payload
+    FROM orders
+    """,
+)
+def p16_json_serialize(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+                F.col("o_orderpriority").alias("p"),
+            )
+        ).alias("payload"),
+    )
+
+
 # P1/P4 JSON path extraction (ref find_goods.py:72) on events.props.
 @register(
     "p1_json_extract",

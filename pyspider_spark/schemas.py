@@ -103,6 +103,19 @@ API_ITEMS = T.StructType(
     ]
 )
 
+# Q12 batch-sales rows: one request answers for a chunk of sku ids
+# (reference jingxi_category_sales.py:112-118), exploded back to one
+# row per sku at parse time.
+SALES_ITEMS = T.StructType(
+    [
+        T.StructField("sku", T.StringType(), False),
+        T.StructField("stock", T.LongType(), True),
+        T.StructField("sale_price_cents", T.LongType(), True),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
 # Per-round counters (north rule: fetched, deduped, deferred-for-politeness;
 # reference analogue success_counts/failed_counts common/spider.py:154-156).
 METRICS = T.StructType(
@@ -228,6 +241,7 @@ TABLE_SCHEMAS = {
     "image_bands": IMAGE_BANDS,
     "items": ITEMS,
     "api_items": API_ITEMS,
+    "sales_items": SALES_ITEMS,
     "metrics": METRICS,
     "config": CONFIG,
     "robots": ROBOTS,

@@ -62,6 +62,23 @@ API_BODY_SCHEMA = T.StructType(
     ]
 )
 
+SALES_BODY_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "sales",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("sku", T.StringType()),
+                        T.StructField("stock", T.LongType()),
+                        T.StructField("sale_price_cents", T.LongType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
 _LINK_RE = r'<a href="([^"]+)"'
 _IMG_RE = r'<img src="([^"]+)"'
 
@@ -155,6 +172,57 @@ def api_items(parsed_api: DataFrame, round_no: int) -> DataFrame:
         F.col("it.salecount").alias("salecount"),
         F.col("cat").cast("int").alias("cat"),
         F.col("page").cast("int").alias("page"),
+        "host",
+        F.lit(round_no).cast("int").alias("round"),
+    )
+
+
+def sales_chunk_links(api_items_df: DataFrame, chunk_size: int) -> DataFrame:
+    """Q12, engine level: merge this round's discovered skus into batch
+    sales requests — ONE frontier URL per ``chunk_size`` ids (reference
+    jingxi_category_sales.py:112-118 pipes 50 ids into a single HTTP
+    call). Deterministic: skus sorted per host, fixed-size slices in
+    order, so a resumed round rebuilds identical chunk URLs.
+
+    Scale: the per-host window ranks only THIS round's discoveries
+    (O(new skus), never the corpus); the groupBy key (host, chunk) is
+    finer than host, so the merge itself parallelizes. A host that
+    discovers 10^8 skus in one round would bottleneck the single-task
+    rank — at that rate, pre-salt the window key by a sku prefix and
+    chunk within salt groups (chunk membership changes, semantics
+    don't: the reference never specifies WHICH ids share a request)."""
+    from pyspark.sql import Window
+
+    from .synth import SALES_ID_SEP
+
+    sk = api_items_df.select("host", "sku").distinct()
+    w = Window.partitionBy("host").orderBy("sku")
+    chunks = (
+        sk.withColumn(
+            "_chunk", ((F.row_number().over(w) - 1) / chunk_size).cast("int")
+        )
+        .groupBy("host", "_chunk")
+        .agg(F.sort_array(F.collect_list("sku")).alias("_ids"))
+    )
+    parent = F.concat(F.lit("https://"), F.col("host"), F.lit("/api/sales"))
+    return chunks.select(
+        parent.alias("parent"),
+        F.concat(parent, F.lit("?ids="), F.array_join("_ids", SALES_ID_SEP)).alias(
+            "url"
+        ),
+        F.create_map(F.lit("parent"), parent).alias("meta"),
+    )
+
+
+def sales_items(ok: DataFrame, round_no: int) -> DataFrame:
+    """sales-stage parse: explode the batch response back to one row per
+    sku (the inverse of :func:`sales_chunk_links`)."""
+    sal = ok.filter(F.col("stage") == "sales")
+    parsed = sal.withColumn("_js", F.from_json("body", SALES_BODY_SCHEMA))
+    return parsed.select("host", F.explode("_js.sales").alias("it")).select(
+        F.col("it.sku").alias("sku"),
+        F.col("it.stock").alias("stock"),
+        F.col("it.sale_price_cents").alias("sale_price_cents"),
         "host",
         F.lit(round_no).cast("int").alias("round"),
     )

@@ -57,6 +57,9 @@ class GraphSpec:
     img_scale: int = 1                # multiplies image dims (1 → 32-128px
                                       # test toys; 4-8 → realistic payload
                                       # sizes for compute-weighted benches)
+    sales_chunk_size: int = 50        # Q12: sku ids merged per batch sales
+                                      # request (ref jingxi_category_sales
+                                      # .py:112-118 chunks 50 ids)
 
     def host(self, h: int) -> str:
         return f"host{h}.example"
@@ -79,6 +82,24 @@ def img_url(spec: GraphSpec, h: int, image_id: str) -> str:
     return f"https://{spec.host(h)}/img/{image_id}"
 
 
+# Q12 chunked batch requests (reference jingxi_category_sales.py:112-118
+# merges 50 sku ids into ONE request). Separator is '.' — one of the
+# four always-safe urlencode characters (_.-~), so the canonicalizer's
+# percent-encoding pass leaves batch URLs untouched and the fetch
+# simulator can split ids back out without url-decoding.
+SALES_ID_SEP = "."
+
+
+def sales_parent(host: str) -> str:
+    """Lineage/meta parent recorded for batch sales requests — chunks
+    combine skus from many api pages, so the 'parent' is the endpoint."""
+    return f"https://{host}/api/sales"
+
+
+def sales_url(host: str, ids: list[str]) -> str:
+    return f"https://{host}/api/sales?ids={SALES_ID_SEP.join(ids)}"
+
+
 def private_url(spec: GraphSpec, h: int, k: int) -> str:
     return f"https://{spec.host(h)}/private/{k}"
 
@@ -87,6 +108,8 @@ def stage_of(url_canon: str) -> str:
     """Derive the parse stage (≙ callback name, reference
     common/response.py:15) from the URL path."""
     path = url_canon.split("://", 1)[-1].split("/", 1)[-1]
+    if path.split("?", 1)[0] == "api/sales":
+        return "sales"  # Q12 batch endpoint, own parse stage
     head = path.split("/", 1)[0].split("?", 1)[0]
     return {
         "list": "list",
@@ -208,6 +231,27 @@ def fetch_sim(spec: GraphSpec, url_canon: str) -> dict:
             f'<span id="clink">{item["goods_comment_link"]}</span>'
             "</body></html>"
         )
+
+    elif kind == "api" and u["parts"][1] == "sales":
+        # Q12 batch endpoint: one request answers for every id in the
+        # chunk (reference jingxi_category_sales.py:112-118 merges 50
+        # sku ids into one request, response keyed per id)
+        if captcha:
+            body = '{"errorMsg": "risk control"}'
+            return {
+                "status": 200,
+                "body": CAPTCHA_MARKER + body,
+                "out_links": [],
+                "image_refs": [],
+                "item": None,
+            }
+        ids = u["q"]["ids"].split(SALES_ID_SEP) if u["q"].get("ids") else []
+        rows = [
+            f'{{"sku": "{d}", "stock": {h64("stk", d) % 100}, '
+            f'"sale_price_cents": {h64("sp", d) % 100000}}}'
+            for d in ids
+        ]
+        body = f'{{"sales": [{", ".join(rows)}]}}'
 
     elif kind == "api":
         c, p = int(u["q"]["cat"]), int(u["q"]["page"])

@@ -52,11 +52,13 @@ def _path_of(url_canon: str) -> str:
 class OracleEngine:
     spec: GraphSpec
     global_budget: int | None = None
+    batch_sales: bool = True
     frontier: list[Row] = field(default_factory=list)
     enqueued: set[str] = field(default_factory=set)
     seen: set[str] = field(default_factory=set)
     items: list[tuple] = field(default_factory=list)
     api_items: list[tuple] = field(default_factory=list)
+    sales_items: list[tuple] = field(default_factory=list)
     image_ids: set[str] = field(default_factory=set)
     pop_sequences: dict[int, list[str]] = field(default_factory=dict)
     metrics: dict[int, dict] = field(default_factory=dict)
@@ -129,6 +131,7 @@ class OracleEngine:
 
         # fetch + outcomes
         requeues, new_rows_raw = [], []
+        sales_new: dict[str, set[str]] = {}
         for x in selected:
             if x.retries == 0:
                 self.seen.add(x.url_canon)
@@ -150,7 +153,20 @@ class OracleEngine:
                     m["failed"] += 1
                 continue
             m["fetched_ok"] += 1
-            self._parse(x, res, r, m, new_rows_raw)
+            self._parse(x, res, r, m, new_rows_raw, sales_new)
+
+        # Q12: this round's discovered skus roll up into batch sales
+        # requests — sorted per host, fixed-size chunks (mirrors
+        # stages.sales_chunk_links; ref jingxi_category_sales.py:112-118)
+        if self.batch_sales:
+            cs = self.spec.sales_chunk_size
+            for host in sorted(sales_new):
+                ids = sorted(sales_new[host])
+                parent = synth.sales_parent(host)
+                for i in range(0, len(ids), cs):
+                    new_rows_raw.append(
+                        (parent, synth.sales_url(host, ids[i : i + cs]))
+                    )
 
         # vet-at-discovery: first-parent in-batch dedup, then enqueued
         # membership, then robots; only survivors enter the frontier.
@@ -181,7 +197,10 @@ class OracleEngine:
         self.metrics[r] = m
         return m
 
-    def _parse(self, x: Row, res: dict, r: int, m: dict, new_rows: list) -> None:
+    def _parse(
+        self, x: Row, res: dict, r: int, m: dict, new_rows: list,
+        sales_new: dict[str, set[str]] | None = None,
+    ) -> None:
         spec = self.spec
         u = synth.parse_synth_url(x.url_canon)
         if x.stage == "list":
@@ -202,6 +221,8 @@ class OracleEngine:
                     (it["sku"], it["tuancount"], it["salecount"],
                      data["cat"], data["page"], x.host, r)
                 )
+                if self.batch_sales and sales_new is not None:
+                    sales_new.setdefault(x.host, set()).add(it["sku"])
             m["items_emitted"] += len(items)
             if items:
                 new_rows.append(
@@ -219,6 +240,15 @@ class OracleEngine:
                 )
             )
             m["items_emitted"] += 1
+        elif x.stage == "sales":
+            import json
+
+            js = json.loads(res["body"])
+            for it in js.get("sales") or []:
+                self.sales_items.append(
+                    (it["sku"], it["stock"], it["sale_price_cents"], x.host, r)
+                )
+                m["items_emitted"] += 1
         elif x.stage == "img":
             for ref in res["image_refs"]:
                 self.image_ids.add(ref)

@@ -79,6 +79,33 @@ def test_api_items_match(engine_run, oracle_run):
     assert got == set(o.api_items)
 
 
+def test_sales_items_match(engine_run, oracle_run):
+    """Q12 engine level: batch sales responses exploded per sku match the
+    oracle's chunk-and-fetch replay exactly."""
+    eng, _ = engine_run
+    o = oracle_run
+    from pyspider_spark.schemas import SALES_ITEMS
+
+    rows = eng.store.read_or_empty("sales_items", SALES_ITEMS).collect()
+    got = {tuple(r) for r in rows}
+    assert got == set(o.sales_items)
+    assert len(got) > 0, "sales batch path never exercised"
+
+
+def test_sales_batching_is_chunked(engine_run):
+    """Every popped sales URL carries ≥1 id and ≤ chunk_size ids."""
+    eng, _ = engine_run
+    from pyspider_spark.synth import SALES_ID_SEP
+
+    sales_pops = [
+        u for seq in eng.pop_sequences.values() for u in seq if "/api/sales" in u
+    ]
+    assert sales_pops, "no sales URL ever popped"
+    for u in sales_pops:
+        ids = u.split("ids=", 1)[1].split(SALES_ID_SEP)
+        assert 1 <= len(ids) <= SPEC.sales_chunk_size
+
+
 def test_images_match(engine_run, oracle_run):
     eng, _ = engine_run
     o = oracle_run
