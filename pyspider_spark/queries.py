@@ -291,12 +291,20 @@ def q5_retry_budget(spark, sf_dir):
     "q7_seen_antijoin",
     """
     SELECT c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
     """,
 )
 def q7_seen_antijoin(spark, sf_dir):
+    """J3/Q7: the seen-set anti-join shape (frontier ∖ seen). The
+    'seen' side is filtered (urgent orders) so the check is non-vacuous
+    at every sf — ~14% of customers survive. The filter reaches the
+    orders parquet scan (pushdown) and the shrunken build side
+    broadcast-hashes under AQE."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(
         o.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_anti"
     ).select("c_custkey")
