@@ -152,6 +152,61 @@ def a6_group_concat(spark, sf_dir):
     )
 
 
+# A4 collect-to-list (ref page-link lists appended per category,
+# crawl_cate_link.py:50-60): per-group ordered array of member keys.
+# Hash-compare needs a canonical byte form, so the array is emitted as
+# its JSON serialization — element order is pinned by sort, and Spark's
+# to_json(array<bigint>) and DuckDB's to_json(list) agree byte-for-byte.
+@register(
+    "a4_collect_list",
+    """
+    SELECT o_custkey,
+           to_json(list(o_orderkey ORDER BY o_orderkey)) AS orderkeys,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a4_collect_list(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.to_json(F.sort_array(F.collect_list("o_orderkey"))).alias("orderkeys"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# P9 text-presence branch (ref '加载验证码' in response.text branch,
+# crawl_goods_list.py:50-52 / sold-out checks): route rows by substring
+# presence, count per branch — the marker test is a pure codegen
+# CASE/contains, no UDF.
+@register(
+    "p9_text_branch",
+    """
+    SELECT source,
+           CASE WHEN text LIKE '%error%' THEN 'blocked'
+                WHEN text LIKE '%the%' THEN 'common'
+                ELSE 'other' END AS branch,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source, branch
+    """,
+)
+def p9_text_branch(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    branch = (
+        F.when(F.col("text").contains("error"), F.lit("blocked"))
+        .when(F.col("text").contains("the"), F.lit("common"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        d.withColumn("branch", branch)
+        .groupBy("source", "branch")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 # Q12 chunked batch requests (ref jingxi_category_sales.py:112-118):
 # row_number → ⌊/15⌋ chunks → comma-joined id batches.
 @register(
