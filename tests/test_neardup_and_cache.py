@@ -118,6 +118,12 @@ def test_band_index_matches_bruteforce(spark, tmp_path_factory):
             )
         got |= {frozenset((p.image_id, p.dup_of)) for p in pairs.collect()}
         idx.append_round(new, r)
+        # incremental-write contract: indexing round r lands exactly the
+        # NEW images' band rows (8 per image), never a corpus re-explode
+        assert (
+            store.last_append_rows("image_bands")
+            == neardup.N_BANDS * len(batch)
+        )
         if r == 1:
             idx.compact(r)
 
