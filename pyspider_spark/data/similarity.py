@@ -6,9 +6,11 @@ Three tiers:
    to integer milli-units. Integer dot products are associative, so the
    result is bit-identical regardless of summation order → this is the
    DuckDB-oracle-gated variant.
-2. ``cosine_topk`` — true float cosine brute force (Spark-native
-   zip_with/aggregate fold; no Python). Float accumulation order makes
-   cross-engine hashing unreliable, so this one is rows-only checked.
+2. ``cosine_topk`` — brute-force cosine top-k in exact basis points:
+   integer dot and squared norms over the quantized vectors (sums are
+   associative → order-independent), one correctly-rounded IEEE
+   sqrt/divide at the end — bit-portable, DuckDB-oracle-gated. The
+   float scorer (``cosine_sim_expr``) stays as the library primitive.
 3. ``ann_lsh_topk`` — the scale path: random-hyperplane LSH signatures
    (hash-derived planes, deterministic) bucket the vectors; search only
    within matching buckets. Turns the O(Q x N) scan into O(Q x bucket).
@@ -72,21 +74,27 @@ def cosine_sim_expr(a_sql: str, b_sql: str) -> str:
 
 
 def cosine_topk(emb: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
-    """Brute-force float cosine top-k (rows-only oracle check)."""
+    """Brute-force cosine top-k in basis points. Scored and ORDERED by
+    the quantized-integer cosine (see quantized_cos_bp_expr) so rank is
+    a total, engine-independent order — DuckDB-oracle-gated."""
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"), F.expr(_quantize("embedding")).alias("qv")
     )
-    a = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("av"))
+    a = emb.select(
+        F.col("vec_id").alias("vid"), F.expr(_quantize("embedding")).alias("av")
+    )
     pairs = (
         a.join(F.broadcast(q))
         .filter(F.col("vid") != F.col("qid"))
-        .select("qid", "vid", F.expr(cosine_sim_expr("qv", "av")).alias("cos"))
+        .select(
+            "qid", "vid", F.expr(quantized_cos_bp_expr("qv", "av")).alias("cos_bp")
+        )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_bp"), F.asc("vid"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "rank", "vid", F.expr("cast(floor(cos * 10000) as bigint)").alias("cos_bp"))
+        .select("qid", "rank", "vid", "cos_bp")
     )
 
 
@@ -145,7 +153,7 @@ def ann_lsh_topk(
     """Banded multi-table ANN (AND/OR construction): ``n_tables``
     independent N_PLANES-bit signatures; a vector is a candidate if it
     shares a bucket with the query in ANY table. Candidates are deduped
-    slim (qid, vid) pairs, then exactly reranked by float cosine.
+    slim (qid, vid) pairs, then exactly reranked by quantized cosine.
 
     Recall scales with table count (each table is an independent
     chance to catch a true neighbor); bucket sharpness with N_PLANES.
@@ -177,20 +185,26 @@ def ann_lsh_topk(
         .select("qid", "vid")
         .distinct()
     )
-    a = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("av"))
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    a = emb.select(
+        F.col("vec_id").alias("vid"), F.expr(_quantize("embedding")).alias("av")
     )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.expr(_quantize("embedding")).alias("qv")
+    )
+    # exact rerank in quantized basis points: integer sums + one IEEE
+    # sqrt/divide → a total, engine-independent order (oracle-gated)
     exact = (
         cand.join(a, on="vid")
         .join(F.broadcast(q), on="qid")
-        .select("qid", "vid", F.expr(cosine_sim_expr("qv", "av")).alias("cos"))
+        .select(
+            "qid", "vid", F.expr(quantized_cos_bp_expr("qv", "av")).alias("cos_bp")
+        )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_bp"), F.asc("vid"))
     return (
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "rank", "vid", F.expr("cast(floor(cos * 10000) as bigint)").alias("cos_bp"))
+        .select("qid", "rank", "vid", "cos_bp")
     )
 
 

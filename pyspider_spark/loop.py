@@ -305,31 +305,53 @@ class CrawlEngine:
         candidates = candidates.withColumn("exetime", F.lit(r).cast("long"))
 
         config = store.read_or_empty("config", CONFIG)
-        # the rank chain materializes exactly ONCE into this cached
-        # frame; one groupBy yields popped/deferred and the popped split
-        # is a cache read. Persisted FIRST so the global-budget threshold
-        # job (a tiny TakeOrdered) also reads the cache.
-        ranked_cached = scheduler.rank_adaptive(
-            candidates, config, None, count_on=ready
-        ).persist(CACHE)
-        ranked = ranked_cached
-        if self.global_budget is not None:
-            ranked = scheduler.apply_global_budget(ranked_cached, self.global_budget)
-        fate = {
-            row["_pop"]: row["count"]
-            for row in ranked.groupBy("_pop").count().collect()
-        }
-        stats.popped = int(fate.get(True, 0))
-        stats.deferred_politeness = int(fate.get(False, 0))
-        if stats.popped == 0:
-            ranked_cached.unpersist()
+        # ONE slim pre-pass over candidates serves BOTH the adaptive skew
+        # guard (over-threshold host list) and the exact candidate count
+        # (deferred = candidates − popped): column-pruned scan, map-side
+        # partial agg, one shuffle row per host, one driver row back.
+        pre = (
+            candidates.groupBy("host")
+            .count()
+            .agg(
+                F.sum("count").alias("_n"),
+                F.collect_list(
+                    F.when(
+                        F.col("count") > scheduler.BIG_HOST_ROWS, F.col("host")
+                    )
+                ).alias("_big"),
+            )
+            .collect()[0]
+        )
+        n_candidates = int(pre["_n"] or 0)
+        if n_candidates == 0:
             self._write_round_outputs(r, stats, None, None, None, None, None)
+            self._unpersist_round()
             return stats
-        popped = ranked.filter(F.col("_pop")).drop("_pop")
-        # deferred rows are NOT written anywhere: deferral is implicit —
-        # the row stays in the append-only frontier and re-enters next
-        # round's ranking with derived exetime. Per-round frontier write
-        # I/O is O(popped + new links), never O(backlog).
+        ranked = scheduler.rank_adaptive(
+            candidates, config, None, big_hosts=pre["_big"]
+        )
+        # Only the in-budget rows persist: the 10^10-row deferred backlog
+        # is never cached or written anywhere — deferral is implicit (the
+        # row stays in the append-only frontier and re-enters next
+        # round's ranking with derived exetime), and its size is counted
+        # arithmetically, never materialized. Per-round scratch+write I/O
+        # is O(popped + new links), never O(backlog).
+        pre_pop = ranked.filter(F.col("_pop")).persist(CACHE)
+        self._round_persists.append(pre_pop)
+        if self.global_budget is not None:
+            # threshold probe + scalar filter over the small cached
+            # in-budget frame (≤ Σ host budgets), never the backlog
+            popped = scheduler.apply_global_budget(
+                pre_pop, self.global_budget
+            ).filter(F.col("_pop")).drop("_pop")
+        else:
+            popped = pre_pop.drop("_pop")
+        stats.popped = popped.count()
+        stats.deferred_politeness = n_candidates - stats.popped
+        if stats.popped == 0:
+            self._write_round_outputs(r, stats, None, None, None, None, None)
+            self._unpersist_round()
+            return stats
 
         if self.collect_pop_sequence:
             seq = (
@@ -344,8 +366,11 @@ class CrawlEngine:
         from .params import with_request_params
 
         results = self._fetch_with_memo(with_request_params(popped), r).persist(CACHE)
+        # ok/requeue are cheap scalar filters over the results cache: a
+        # second persist of `ok` would re-write every body+image byte to
+        # scratch (non-scaling single-box I/O); its five consumers read
+        # the results cache and re-apply the filter instead.
         ok, requeue, exhausted = scheduler.split_fetch_outcomes(results, CAPTCHA_MARKER)
-        ok = ok.persist(CACHE)
         requeue = requeue.persist()
         # one agg job for all four fetch-outcome counters
         is_fail = F.col("status") >= 500
@@ -410,9 +435,15 @@ class CrawlEngine:
             new_rows=new_rows, sales=sales,
         )
 
-        for df in (ranked_cached, results, ok, requeue, parsed_api, new_rows, *self._round_persists):
+        for df in (results, requeue, parsed_api, new_rows):
             df.unpersist()
+        self._unpersist_round()
         return stats
+
+    def _unpersist_round(self) -> None:
+        for df in self._round_persists:
+            df.unpersist()
+        self._round_persists = []
 
     def _detect_near_dups(self, r: int) -> None:
         """J5: phash near-dup pairs for this round's images — banded
@@ -509,26 +540,35 @@ class CrawlEngine:
         once, never re-vetted); dropped rows are never written at all.
         Counters land in this round's stats: ``deduped`` = in-batch dups
         + enqueued hits, ``robots_blocked`` at discovery round."""
-        n_raw = links.count()
         canon = links.withColumn("url_canon", canonicalize_udf("url")).withColumn(
             "host", host_of(F.col("url_canon"))
         )
         # first parent wins, via map-side-combinable min_by (see
-        # scheduler.dedup_batch for why this beats a row_number window)
+        # scheduler.dedup_batch for why this beats a row_number window);
+        # a per-key count rides along so the raw-link total falls out of
+        # the SAME materialization — the link-explode plan (which rescans
+        # every fetched body) runs once, not once per counter.
         canon = canon.groupBy("url_canon").agg(
             F.min_by(
                 F.struct(F.col("url"), F.col("parent"), F.col("host"), F.col("meta")),
                 F.struct(F.col("parent"), F.col("url")),
-            ).alias("_b")
+            ).alias("_b"),
+            F.count(F.lit(1)).alias("_c"),
         ).select(
             "url_canon",
             F.col("_b.url").alias("url"),
             F.col("_b.parent").alias("parent"),
             F.col("_b.host").alias("host"),
             F.col("_b.meta").alias("meta"),
+            "_c",
         ).persist()
         self._round_persists.append(canon)
-        n_batch = canon.count()
+        counts = canon.agg(
+            F.sum("_c").alias("raw"), F.count(F.lit(1)).alias("batch")
+        ).collect()[0]
+        n_raw = int(counts["raw"] or 0)
+        n_batch = int(counts["batch"])
+        canon = canon.drop("_c")
         novel = self.enqueued.filter_unseen(canon)
         robots_df = self.store.read_or_empty("robots", ROBOTS)
         marked = scheduler.robots_mark(novel, robots_df).persist()

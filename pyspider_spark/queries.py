@@ -1000,24 +1000,30 @@ def s_dot_topk(spark, sf_dir):
     return out.select("qid", F.col("rank").cast("int").alias("rank"), "vid", "dot")
 
 
-# rows-only checked (float accumulation order is engine-specific):
-@register("s_cosine_topk", None)
+@register("s_cosine_topk", None)  # sql assigned below (needs _cosbp_duck)
 def s_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k in quantized basis points — integer dot
+    and norms (order-independent), one IEEE sqrt/divide; oracle-gated."""
     return S.cosine_topk(load(spark, sf_dir, "embeddings"), n_queries=20, k=5)
 
 
-@register("s_ann_lsh", None)
+@register("s_ann_lsh", None)  # sql assigned below (needs _sig_duck)
 def s_ann_lsh(spark, sf_dir):
+    """Banded multi-table ANN (8 tables × 4 planes, OR construction):
+    integer signatures bucket, quantized cosine reranks — fully
+    bit-portable, so the whole approximate pipeline is oracle-gated
+    (recall-vs-bruteforce measured separately in tests/test_ann_recall)."""
     return S.ann_lsh_topk(load(spark, sf_dir, "embeddings"), n_queries=20, k=5)
 
 
-def _sig_duck(qv: str) -> str:
-    """DuckDB mirror of similarity.lsh_signature_q_expr (table 0):
-    integer plane dots over the quantized vector — order-independent."""
+def _sig_duck(qv: str, table: int = 0, n_planes: int | None = None) -> str:
+    """DuckDB mirror of similarity.lsh_signature_q_expr: integer plane
+    dots over the quantized vector — order-independent. ``table`` seeds
+    the independent plane family (multi-table ANN)."""
     terms = []
-    for p in range(S.N_PLANES):
+    for p in range(S.N_PLANES if n_planes is None else n_planes):
         comp = (
-            f"(CASE WHEN (('0x' || substr(md5(concat('plane:0:{p}:', "
+            f"(CASE WHEN (('0x' || substr(md5(concat('plane:{table}:{p}:', "
             f"CAST(i - 1 AS VARCHAR))), 1, 8))::BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
         )
         dot = (
@@ -1039,6 +1045,58 @@ def _cosbp_duck(qa: str, qb: str) -> str:
         f"CAST(floor(10000.0 * {dot} / "
         f"greatest(sqrt(CAST({n2a} AS DOUBLE) * CAST({n2b} AS DOUBLE)), 1e-9)) AS BIGINT)"
     )
+
+
+REGISTRY["s_cosine_topk"].sql = f"""
+    WITH q AS (
+      SELECT vec_id AS qid,
+             list_transform(embedding, x -> CAST(floor(x * {S.QUANT}) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < 20
+    ),
+    a AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding, x -> CAST(floor(x * {S.QUANT}) AS BIGINT)) AS av
+      FROM embeddings
+    ),
+    p AS (
+      SELECT qid, vid, {_cosbp_duck('qv', 'av')} AS cos_bp
+      FROM q CROSS JOIN a WHERE vid <> qid
+    ),
+    r AS (
+      SELECT qid, vid, cos_bp,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_bp DESC, vid ASC) AS rank
+      FROM p
+    )
+    SELECT qid, CAST(rank AS INT) AS rank, vid, cos_bp FROM r WHERE rank <= 5
+    """
+
+REGISTRY["s_ann_lsh"].sql = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(x * {S.QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    sigs AS (
+      {" UNION ALL ".join(f"SELECT vec_id, {t} AS t, {_sig_duck('qv', t, S.ANN_PLANES)} AS sig FROM v" for t in range(S.N_TABLES))}
+    ),
+    cand AS (
+      SELECT DISTINCT s.vec_id AS qid, o.vec_id AS vid
+      FROM sigs s JOIN sigs o ON s.t = o.t AND s.sig = o.sig
+      WHERE s.vec_id < 20 AND o.vec_id <> s.vec_id
+    ),
+    p AS (
+      SELECT c.qid, c.vid, {_cosbp_duck('qa.qv', 'va.qv')} AS cos_bp
+      FROM cand c
+      JOIN v qa ON qa.vec_id = c.qid
+      JOIN v va ON va.vec_id = c.vid
+    ),
+    r AS (
+      SELECT qid, vid, cos_bp,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_bp DESC, vid ASC) AS rank
+      FROM p
+    )
+    SELECT qid, CAST(rank AS INT) AS rank, vid, cos_bp FROM r WHERE rank <= 5
+    """
 
 
 @register("d_embed_neardup", None)

@@ -221,6 +221,7 @@ def rank_adaptive(
     global_budget: int | None = None,
     big_host_rows: int = BIG_HOST_ROWS,
     count_on: DataFrame | None = None,
+    big_hosts: list[str] | None = None,
 ) -> DataFrame:
     """Adaptive skew guard: a cheap slim pre-pass (groupBy(host).count()
     — map-side combined, shuffles one row per host) finds hosts whose
@@ -238,15 +239,23 @@ def rank_adaptive(
     superset of ``ready`` (e.g. the raw frontier scan before the
     dedup/bloom chain) so the pre-pass doesn't materialize an expensive
     lineage twice; over-counting only salts a host that didn't need it.
+
+    ``big_hosts``: precomputed over-threshold host list — callers that
+    already run a per-host count job (the engine folds it into the
+    candidate-count job, loop.run_round) pass it to skip the pre-pass
+    entirely.
     """
     if global_budget is not None:
-        ranked = rank_adaptive(ready, config, None, big_host_rows, count_on)
+        ranked = rank_adaptive(ready, config, None, big_host_rows, count_on, big_hosts)
         return apply_global_budget(ranked, global_budget)
-    base = count_on if count_on is not None else ready
-    big = [
-        r["host"]
-        for r in base.groupBy("host").count().filter(F.col("count") > big_host_rows).collect()
-    ]
+    if big_hosts is not None:
+        big = list(big_hosts)
+    else:
+        base = count_on if count_on is not None else ready
+        big = [
+            r["host"]
+            for r in base.groupBy("host").count().filter(F.col("count") > big_host_rows).collect()
+        ]
     if not big:
         return rank_for_pop(ready, config, None, salted=False)
     is_big = F.col("host").isin(big)

@@ -133,3 +133,32 @@ def test_exactly_once_fetch(engine_run):
     repeats = {u: n for u, n in c.items() if n > 1}
     for u, n in repeats.items():
         assert n <= 3, f"{u} popped {n} times (> max_retries)"
+
+
+@pytest.fixture(scope="module")
+def budgeted_runs(spark, tmp_path_factory):
+    """Engine + oracle under a GLOBAL pop budget (ref spop count=1000):
+    exercises the threshold-probe cap over the cached in-budget frame."""
+    wd = str(tmp_path_factory.mktemp("crawl_gb"))
+    eng = CrawlEngine(
+        spark, wd, SPEC, n_seen_partitions=8, use_bloom=True,
+        collect_pop_sequence=True, global_budget=5,
+    )
+    stats = eng.run(max_rounds=4)
+    o = OracleEngine(SPEC, global_budget=5)
+    o.run(max_rounds=4)
+    return eng, stats, o
+
+
+def test_global_budget_pop_sequences_match(budgeted_runs):
+    eng, _, o = budgeted_runs
+    for r, seq in eng.pop_sequences.items():
+        assert seq == o.pop_sequences[r], f"round {r} pop order diverged"
+        assert len(seq) <= 5
+
+
+def test_global_budget_metrics_match(budgeted_runs):
+    _, stats, o = budgeted_runs
+    for s in stats:
+        if s.round in o.metrics:
+            assert s.__dict__ == o.metrics[s.round], f"round {s.round}"
