@@ -327,16 +327,22 @@ class CrawlEngine:
             self._write_round_outputs(r, stats, None, None, None, None, None)
             self._unpersist_round()
             return stats
-        ranked = scheduler.rank_adaptive(
-            candidates, config, None, big_hosts=pre["_big"]
-        )
         # Only the in-budget rows persist: the 10^10-row deferred backlog
         # is never cached or written anywhere — deferral is implicit (the
         # row stays in the append-only frontier and re-enters next
         # round's ranking with derived exetime), and its size is counted
         # arithmetically, never materialized. Per-round scratch+write I/O
-        # is O(popped + new links), never O(backlog).
-        pre_pop = ranked.filter(F.col("_pop")).persist(CACHE)
+        # is O(popped + new links), never O(backlog). The ranking itself
+        # shuffles only a slim (host, priority, exetime, url_canon)
+        # projection — full-width frontier rows never shuffle (see
+        # scheduler.popped_via_thresholds).
+        pre_pop = (
+            scheduler.popped_via_thresholds(
+                candidates, config, big_hosts=pre["_big"]
+            )
+            .withColumn("_pop", F.lit(True))
+            .persist(CACHE)
+        )
         self._round_persists.append(pre_pop)
         if self.global_budget is not None:
             # threshold probe + scalar filter over the small cached

@@ -215,6 +215,59 @@ def apply_global_budget(ranked: DataFrame, global_budget: int) -> DataFrame:
     return ranked.withColumn("_pop", F.col("_pop") & under)
 
 
+def _pop_key():
+    """The pop order as ONE sortable struct (struct comparison in Spark
+    is lexicographic by field): rank-by-window and compare-to-threshold
+    agree exactly because this is the same total order as
+    :func:`pop_order` within a host. Priority negates through a long so
+    INT_MIN can't overflow."""
+    return F.struct(
+        (-F.col("priority").cast("long")).alias("p"),
+        F.col("exetime").alias("e"),
+        F.col("url_canon").alias("u"),
+    )
+
+
+def popped_via_thresholds(
+    candidates: DataFrame,
+    config: DataFrame,
+    big_hosts: list[str] | None = None,
+) -> DataFrame:
+    """The engine's pop path: per-host budgeted top-B WITHOUT shuffling
+    full-width frontier rows. Byte-identical to
+    ``rank_adaptive(...).filter(_pop)`` whenever ``url_canon`` is unique
+    within the candidate batch (the engine guarantees this: links are
+    vetted/deduped at discovery and pop tombstones are keyed
+    (url_canon, retries), so at most one row per URL is ever live).
+
+    At 10^10-row-frontier scale the ranking window is the round's one
+    O(backlog) shuffle; its cost is shuffle *bytes*, not row count.
+    This splits it: (1) rank a SLIM projection (host, priority,
+    exetime, url_canon — the only columns the order needs, ~3x fewer
+    bytes than a frontier row), (2) fold the winners to one
+    ``(host, Bth-best key)`` threshold row per host — O(hosts), tiny —
+    and (3) broadcast-join the thresholds back to the full-width scan
+    with a scalar struct comparison. The wide rows never shuffle at
+    all; per-host rank <= B ⟺ key <= threshold because the pop order
+    is total within a host (url_canon tie-break).
+
+    ``big_hosts`` routes skewed hosts through the salted two-stage
+    pre-rank exactly as :func:`rank_adaptive` does (the slim frame
+    carries url_canon, so the hash salt is identical)."""
+    slim = candidates.select("host", "priority", "exetime", "url_canon")
+    ranked = rank_adaptive(slim, config, None, big_hosts=list(big_hosts or []))
+    thr = (
+        ranked.filter(F.col("_pop"))
+        .groupBy("host")
+        .agg(F.max(_pop_key()).alias("_thr"))
+    )
+    return (
+        candidates.join(F.broadcast(thr), on="host", how="inner")
+        .filter(_pop_key() <= F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def rank_adaptive(
     ready: DataFrame,
     config: DataFrame,

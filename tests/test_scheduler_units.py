@@ -129,3 +129,51 @@ def test_split_fetch_outcomes(spark):
     rq = {r.url_canon: r.retries for r in requeue.collect()}
     assert rq == {"fail-retryable": 1, "captcha": 2}
     assert {r.url_canon for r in exhausted.collect()} == {"fail-exhausted"}
+
+
+def test_popped_via_thresholds_matches_rank_adaptive(spark):
+    """The slim-rank + per-host-threshold pop path must return exactly
+    the rows rank_adaptive flags _pop — across small hosts, a salted
+    big host, a host with fewer rows than its budget, and a
+    budget-0 host (which must pop nothing)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # small hosts, fewer rows than budget for h0
+    for i in range(3):
+        rows.append((f"https://h0/u{i}", "h0", rng.randrange(100), 0))
+    for h in ("h1", "h2", "h3"):
+        for i in range(40):
+            rows.append((f"https://{h}/u{i}", h, rng.randrange(100), 0))
+    # zero-budget host
+    for i in range(5):
+        rows.append((f"https://hz/u{i}", "hz", rng.randrange(100), 0))
+    # 'big' host routed through the salted path
+    for i in range(200):
+        rows.append((f"https://big/u{i}", "big", rng.randrange(100), 0))
+    df = frontier_rows(spark, rows)
+    config = spark.createDataFrame(
+        [
+            {"host": "hz", "concurrency": 0, "delay_s": 0.0, "timeout_s": 1.0,
+             "max_retries": 3, "pop_budget": 100},
+            {"host": "h1", "concurrency": 7, "delay_s": 0.0, "timeout_s": 1.0,
+             "max_retries": 3, "pop_budget": 100},
+        ],
+        CONFIG,
+    )
+    for big_hosts in ([], ["big"]):
+        want = sorted(
+            r.url_canon
+            for r in scheduler.rank_adaptive(df, config, big_hosts=big_hosts)
+            .filter(F.col("_pop"))
+            .collect()
+        )
+        got_rows = scheduler.popped_via_thresholds(
+            df, config, big_hosts=big_hosts
+        ).collect()
+        got = sorted(r.url_canon for r in got_rows)
+        assert got == want and len(got) > 0
+        # full-width rows survive intact
+        assert set(got_rows[0].asDict()) == set(df.columns)
+    assert not any(u.startswith("https://hz/") for u in got)
