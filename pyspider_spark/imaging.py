@@ -27,7 +27,7 @@ import zlib
 
 import numpy as np
 
-from .hashing import hbytes
+from .hashing import h64, hbytes
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -139,19 +139,61 @@ def phash64(rgb: np.ndarray) -> int:
     return int(np.int64(np.uint64(v)))
 
 
+NEARDUP_ONE_IN = 32  # ≈3% of images are planted near-dups of a motif
+NEARDUP_MOTIFS = 4096  # motif pool: expected pairs stay O(corpus/pool)
+
+
 def synth_image(image_id: str, w: int, h: int) -> np.ndarray:
-    """Deterministic RGB image derived from image_id (hash-seeded bytes
-    shaped into smooth-ish gradients so lossy quantization is visible but
-    bounded)."""
-    base = np.frombuffer(hbytes(64, "img", image_id), np.uint8).astype(np.float64)
+    """Deterministic RGB image derived from image_id.
+
+    Built so the corpus has a REALISTIC phash distribution (a web crawl
+    is mostly-unique images plus a thin near-dup tail, not one giant
+    perceptual cluster — an earlier sinusoid-only generator collapsed
+    to a handful of phashes and made every banded join quadratic):
+
+    - a per-image 8x8 block-offset grid (hash-derived, ±30..60 luma)
+      dominates each aHash bit, so phashes are ~uniform over 2^64 and
+      accidental near-dups are negligible;
+    - ~1/NEARDUP_ONE_IN of images instead render a shared motif from a
+      NEARDUP_MOTIFS-sized pool with 1-3 blocks sign-flipped and a tiny
+      phash-neutral checker dither, planting true near-dup pairs at
+      hamming 0-6 — images of the SAME motif at different (w, h) still
+      collide because the pattern is resolution-normalized;
+    - a low-frequency sinusoid base keeps the payload smooth enough
+      that lossy quantization is visible but bounded (PSNR gate).
+    """
+    motif = image_id
+    if h64("dupflag", image_id) % NEARDUP_ONE_IN == 0:
+        motif = f"motif{h64('dupsel', image_id) % NEARDUP_MOTIFS}"
+    base = np.frombuffer(hbytes(64, "img", motif), np.uint8).astype(np.float64)
     yy, xx = np.mgrid[0:h, 0:w]
+    u, v = xx / w, yy / h  # resolution-normalized coordinates
     chans = []
     for c in range(3):
         a, b, ph, fr = base[c * 4 : c * 4 + 4]
         chan = (
             128
-            + 60 * np.sin((xx * (1 + a / 64) + ph) * 2 * np.pi / (16 + fr / 8))
-            + 60 * np.cos((yy * (1 + b / 64)) * 2 * np.pi / (16 + a / 8))
+            + 45 * np.sin((u * (3 + a % 5) + ph / 255.0) * 2 * np.pi)
+            + 45 * np.cos((v * (3 + b % 5) + fr / 255.0) * 2 * np.pi)
         )
         chans.append(chan)
-    return np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
+    img = np.stack(chans, axis=-1)
+    # per-motif 8x8 block offsets: each block's luma mean moves by a
+    # hash-derived ±(30..60), far from the global mean, so every aHash
+    # bit is an independent coin flip per motif
+    blk = np.frombuffer(hbytes(64, "imgblk", motif), np.uint8).astype(np.float64)
+    grid = np.where(blk >= 128, 1.0, -1.0) * (30.0 + (blk % 128) / 127.0 * 30.0)
+    grid = grid.reshape(8, 8)
+    if motif != image_id:
+        nflip = 1 + h64("nflip", image_id) % 3
+        g = grid.flatten()
+        for j in range(nflip):
+            g[h64(f"flip{j}", image_id) % 64] *= -1.0  # flip ~1 aHash bit
+        grid = g.reshape(8, 8)
+        # byte-level dither: same-motif images differ everywhere in
+        # pixel space while block means (the phash) barely move
+        img += (((xx + yy) % 2)[..., None] - 0.5) * (
+            2.0 * (1 + h64("dith", image_id) % 4)
+        )
+    img += np.kron(grid, np.ones((h // 8, w // 8)))[..., None]
+    return np.clip(img, 0, 255).astype(np.uint8)

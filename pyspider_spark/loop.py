@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -140,6 +141,7 @@ class CrawlEngine:
         collect_pop_sequence: bool = False,
         fetch_cache_ttl_rounds: int | None = None,
         detect_near_dup_images: bool = True,
+        neardup_geometry: tuple[int, int] | None = None,
         html_parser: bool = False,
         batch_sales: bool = True,
     ):
@@ -161,6 +163,12 @@ class CrawlEngine:
         self.pop_sequences: dict[int, list[str]] = {}
         self.fetch_cache_ttl_rounds = fetch_cache_ttl_rounds
         self.detect_near_dup_images = detect_near_dup_images
+        # (n_bands, band_bits) for the phash banded-LSH index. The
+        # default 8x8 gives the full hamming<=7 lossless radius; at
+        # large corpus sizes pass neardup.choose_geometry(corpus) —
+        # wider bands keep the band buckets (and the band-key bloom)
+        # sparse. See neardup module docstring for the sizing table.
+        self.neardup_geometry = neardup_geometry or (8, 8)
         # html_parser=True swaps the regex extractors for the real
         # Arrow-batched HTML parser (stages.links_from_list_html /
         # detail_items_html) — byte-identical on the synthetic corpus,
@@ -173,6 +181,19 @@ class CrawlEngine:
         self.last_frontier_rows = 0
         self._round_persists: list[DataFrame] = []
         self._ledger_path = os.path.join(workdir, "_manifests", "rounds.json")
+        # wall-clock per phase, cumulative across rounds — each entry is
+        # the time between consecutive blocking actions, so it attributes
+        # every lazily-built plan to the action that materialized it.
+        # Read by scripts/scaling_bench.py to decompose scaling losses.
+        self.phase_times: dict[str, float] = {}
+        self._t_last = time.perf_counter()
+
+    def _mark(self, label: str) -> None:
+        now = time.perf_counter()
+        self.phase_times[label] = self.phase_times.get(label, 0.0) + (
+            now - self._t_last
+        )
+        self._t_last = now
 
     # ------------------------------------------------------------- ledger
     def _read_ledger(self) -> list[dict]:
@@ -280,6 +301,7 @@ class CrawlEngine:
     def run_round(self, r: int) -> RoundStats:
         stats = RoundStats(round=r)
         store, spec = self.store, self.spec
+        self._t_last = time.perf_counter()
         # frames persisted by helpers during this round (e.g. the memo
         # fetch path); unpersisted with the round's own frames below.
         self._round_persists: list[DataFrame] = []
@@ -322,6 +344,7 @@ class CrawlEngine:
             )
             .collect()[0]
         )
+        self._mark("prepass")
         n_candidates = int(pre["_n"] or 0)
         if n_candidates == 0:
             self._write_round_outputs(r, stats, None, None, None, None, None)
@@ -353,6 +376,7 @@ class CrawlEngine:
         else:
             popped = pre_pop.drop("_pop")
         stats.popped = popped.count()
+        self._mark("pop_rank")
         stats.deferred_politeness = n_candidates - stats.popped
         if stats.popped == 0:
             self._write_round_outputs(r, stats, None, None, None, None, None)
@@ -388,6 +412,7 @@ class CrawlEngine:
             F.count(F.when(is_fail & can_retry, 1)).alias("retried"),
             F.count(F.when(is_captcha & can_retry, 1)).alias("captcha"),
         ).collect()[0]
+        self._mark("fetch")
         stats.fetched_ok = oc["ok"]
         stats.failed = oc["failed"]
         stats.retried = oc["retried"]
@@ -410,6 +435,7 @@ class CrawlEngine:
             )
         new_rows = self._vet_new_links(new_links_raw, r, stats).persist()
         stats.new_links = new_rows.count()
+        self._mark("parse_vet")
 
         items_fn = (
             stages.detail_items_html if self.html_parser else stages.detail_items
@@ -462,9 +488,10 @@ class CrawlEngine:
         from . import neardup
 
         store = self.store
-        idx = neardup.BandIndex(store)
+        nb, bb = self.neardup_geometry
+        idx = neardup.BandIndex(store, n_bands=nb, band_bits=bb)
         new_imgs = store.read_last_append("images", IMAGES).select("image_id", "phash")
-        pairs = neardup.near_dup_pairs(new_imgs, new_imgs, r)
+        pairs = neardup.near_dup_pairs(new_imgs, new_imgs, r, n_bands=nb, band_bits=bb)
         if idx.has_corpus():
             cand = idx.candidate_images(new_imgs)
             pairs = pairs.unionByName(
@@ -474,8 +501,10 @@ class CrawlEngine:
             "near_dup_images",
             pairs.select(*[f.name for f in neardup.NEAR_DUP_IMAGES.fields]),
         )
+        self._mark("nd_pairs")
         # index this round's images for future rounds' lookups
         idx.append_round(new_imgs, r)
+        self._mark("nd_index")
 
     def _fetch_with_memo(self, popped: DataFrame, r: int) -> DataFrame:
         """S14/J2 at engine level: cache-aside around the fetcher. Hits
@@ -627,6 +656,7 @@ class CrawlEngine:
                     "round", F.lit(r).cast("int")
                 ),
             )
+        self._mark("seen_tomb")
         if items is not None:
             store.append("items", items.select(*[f.name for f in ITEMS.fields]))
             stats.items_emitted = store.last_append_rows("items")
@@ -640,13 +670,16 @@ class CrawlEngine:
                 "sales_items", sales.select(*[f.name for f in SALES_ITEMS.fields])
             )
             stats.items_emitted += store.last_append_rows("sales_items")
+        self._mark("write_items")
         if images is not None:
             store.append("images", images.select(*[f.name for f in IMAGES.fields]))
             stats.images_landed = store.last_append_rows("images")
+            self._mark("write_images")
             # the band index is appended AFTER the corpus lookup inside,
             # so this round's images never match their own bands
             if self.detect_near_dup_images and stats.images_landed > 0:
                 self._detect_near_dups(r)
+                self._mark("near_dup")
         lineage = []
         if frontier_delta is not None:
             store.append(
@@ -666,6 +699,7 @@ class CrawlEngine:
         store.append("metrics", metrics_row)
 
         self._checkpoint(r, stats, lineage)
+        self._mark("frontier_ckpt")
 
     def _partition_lineage(self, r: int) -> list[dict]:
         """Per-write-partition row counts of THIS round's frontier delta

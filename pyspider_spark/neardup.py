@@ -21,6 +21,28 @@ downstream choice).
 
 Scale notes: the band join shuffles only candidate band keys (8
 rows/image), never pixels; AQE splits hot bands (boilerplate images).
+
+Band geometry at scale (multi-index hashing, Norouzi et al. 2012): with
+``n_bands`` bands of ``band_bits`` bits each (n_bands*band_bits = 64),
+exact band equality is a LOSSLESS candidate filter for hamming ≤
+n_bands-1 (pigeonhole), and each band has 2^band_bits buckets. The
+expected verify-join bucket occupancy is corpus/2^band_bits, so the
+geometry must widen as the corpus grows or the join degrades toward
+quadratic and the band-key bloom saturates structurally (8-bit bands
+have only 2048 distinct keys TOTAL — vacuous beyond ~10^3 images)::
+
+  corpus size     geometry   guaranteed radius   keys/band
+  <= ~10^4        8 x 8      <= 7                256
+  ~10^4..10^8     4 x 16     <= 3                65,536
+  >  ~10^8        2 x 32     <= 1                4.3e9
+
+``choose_geometry`` encodes this rule. Wider bands trade guaranteed
+recall radius for bucket sparsity; pairs beyond the guarantee are still
+found whenever the differing bits happen to cluster in few bands, and
+the exact hamming verify never admits false positives. The engine
+default stays 8x8 (the test corpora are small and the driver oracle
+mirrors it); a 100 TB deployment should construct the engine with
+geometry (4, 16) or (2, 32).
 """
 
 from __future__ import annotations
@@ -36,6 +58,16 @@ N_BANDS = 8
 BAND_BITS = 8
 MAX_HAMMING = N_BANDS - 1  # banded equality is lossless up to here
 
+
+def choose_geometry(corpus_size: int) -> tuple[int, int]:
+    """(n_bands, band_bits) sized so a band bucket stays sparse at the
+    given corpus size (see module docstring)."""
+    if corpus_size <= 10_000:
+        return 8, 8
+    if corpus_size <= 100_000_000:
+        return 4, 16
+    return 2, 32
+
 NEAR_DUP_IMAGES = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),
@@ -48,14 +80,27 @@ NEAR_DUP_IMAGES = T.StructType(
 PHASH_BLOOM_BITS = 1 << 20
 
 
-def band_keys(df: DataFrame, phash_col: str = "phash") -> DataFrame:
-    """Explode each image row into its 8 (band_key, ...) rows."""
+def band_keys(
+    df: DataFrame,
+    phash_col: str = "phash",
+    n_bands: int = N_BANDS,
+    band_bits: int = BAND_BITS,
+) -> DataFrame:
+    """Explode each image row into its n_bands (band_key, ...) rows.
+
+    The shift stays in int64 (band_bits=32 would overflow a signed
+    mask), so the band value is extracted as an unsigned slice via
+    ``>>`` then masked with the band-width's unsigned max."""
+    mask = (1 << band_bits) - 1
     keys = F.array(
         *[
             F.format_string(
-                f"{b}:%d", F.expr(f"({phash_col} >> {BAND_BITS * b}) & 255")
+                f"{b}:%d",
+                F.expr(
+                    f"cast(({phash_col} >> {band_bits * b}) & {mask} as bigint)"
+                ),
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     return df.withColumn("band_key", F.explode(keys))
@@ -153,18 +198,26 @@ class BandIndex:
     """
 
     def __init__(self, store, bands_table: str = "image_bands",
-                 filters_table: str = "phash_filters"):
+                 filters_table: str = "phash_filters",
+                 n_bands: int = N_BANDS, band_bits: int = BAND_BITS):
         from .schemas import IMAGE_BANDS, SEEN_FILTERS
 
+        assert n_bands * band_bits == 64, "bands must tile the 64-bit phash"
         self.store = store
         self.bands_table = bands_table
         self.filters_table = filters_table
+        self.n_bands = n_bands
+        self.band_bits = band_bits
         self._BANDS = IMAGE_BANDS
         self._FILTERS = SEEN_FILTERS
 
     def _bands_of(self, images: DataFrame) -> DataFrame:
         return (
-            band_keys(images.select("image_id", "phash"))
+            band_keys(
+                images.select("image_id", "phash"),
+                n_bands=self.n_bands,
+                band_bits=self.band_bits,
+            )
             .withColumn("pid", band_pid(F.col("band_key")))
             .select("band_key", "image_id", "phash", "pid")
         )
@@ -205,7 +258,11 @@ class BandIndex:
 
         filters = self.store.read_or_empty(self.filters_table, self._FILTERS)
         slim = (
-            band_keys(new_images.select("image_id", "phash"))
+            band_keys(
+                new_images.select("image_id", "phash"),
+                n_bands=self.n_bands,
+                band_bits=self.band_bits,
+            )
             .select("image_id", "band_key")
             .withColumn("_pid", band_pid(F.col("band_key")))
         )
@@ -233,13 +290,15 @@ class BandIndex:
         return new_images.join(ids, on="image_id", how="left_semi")
 
     def pairs_vs_corpus(
-        self, cand_images: DataFrame, round_no: int, max_hamming: int = MAX_HAMMING
+        self, cand_images: DataFrame, round_no: int, max_hamming: int | None = None
     ) -> DataFrame:
         """Exact verify: candidate band keys (broadcast) against the
         stored corpus band rows. The corpus side is a columnar scan
         pruned to the pids candidates touch (pid IN-filter hits parquet
         row-group stats — the table is pid-sorted per append); it never
         shuffles, and the full images table is never re-exploded."""
+        if max_hamming is None:
+            max_hamming = self.n_bands - 1
         a = self._bands_of(cand_images).select(
             "band_key", F.col("image_id"), F.col("phash").alias("ph_a"), "pid"
         )
@@ -294,17 +353,26 @@ def near_dup_pairs(
     new_images: DataFrame,
     corpus: DataFrame,
     round_no: int,
-    max_hamming: int = MAX_HAMMING,
+    max_hamming: int | None = None,
     cross: bool = False,
+    n_bands: int = N_BANDS,
+    band_bits: int = BAND_BITS,
 ) -> DataFrame:
     """(image_id, dup_of, hamming) for every new image within
-    ``max_hamming`` of a corpus image. ``cross=False`` = self-join
-    semantics (id > id avoids self/mirror pairs); ``cross=True`` = the
-    two sides are different sets, keep all non-identical pairs."""
-    a = band_keys(new_images.select("image_id", "phash")).select(
+    ``max_hamming`` (default: the geometry's lossless radius n_bands-1)
+    of a corpus image. ``cross=False`` = self-join semantics (id > id
+    avoids self/mirror pairs); ``cross=True`` = the two sides are
+    different sets, keep all non-identical pairs."""
+    if max_hamming is None:
+        max_hamming = n_bands - 1
+    a = band_keys(
+        new_images.select("image_id", "phash"), n_bands=n_bands, band_bits=band_bits
+    ).select(
         "band_key", F.col("image_id").alias("image_id"), F.col("phash").alias("ph_a")
     )
-    b = band_keys(corpus.select("image_id", "phash")).select(
+    b = band_keys(
+        corpus.select("image_id", "phash"), n_bands=n_bands, band_bits=band_bits
+    ).select(
         "band_key", F.col("image_id").alias("dup_of"), F.col("phash").alias("ph_b")
     )
     pair_filter = (

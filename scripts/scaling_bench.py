@@ -100,6 +100,7 @@ def run_one(cores: int) -> dict:
         stats = eng.run_round(0)
         dt = time.perf_counter() - t0
         return {
+            "phase_seconds": {k: round(v, 2) for k, v in eng.phase_times.items()},
             "cores": cores,
             "frontier_rows": FRONTIER_ROWS,
             "urls_scheduled_fetched": stats.popped,

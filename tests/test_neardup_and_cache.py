@@ -132,6 +132,81 @@ def test_band_index_matches_bruteforce(spark, tmp_path_factory):
     assert got == want and len(want) >= 3
 
 
+def _brute_pairs_radius(rows, radius):
+    out = set()
+    for i, (ia, pa) in enumerate(rows):
+        for ib, pb in rows[i + 1 :]:
+            if bin((pa ^ pb) & 0xFFFFFFFFFFFFFFFF).count("1") <= radius:
+                out.add(frozenset((ia, ib)))
+    return out
+
+
+@pytest.mark.parametrize("n_bands,band_bits", [(4, 16), (2, 32)])
+def test_wide_band_geometry_lossless_within_radius(spark, n_bands, band_bits):
+    """MIH scale geometries: exact band match is lossless for hamming ≤
+    n_bands-1 (pigeonhole), verified against brute force on phashes
+    crafted to stress band boundaries and int64 sign handling."""
+    base = 0x0123456789ABCDEF
+    rows = [
+        ("a", base),
+        ("b", base ^ 0b1),                       # hamming 1, low band
+        ("c", base ^ (1 << 63)),                 # hamming 1, sign bit
+        ("d", base ^ ((1 << 15) | (1 << 16))),   # straddles a 16-bit edge
+        ("e", ~base & 0xFFFFFFFFFFFFFFFF),       # hamming 64
+        ("f", base ^ ((1 << 63) | (1 << 62) | (1 << 61))),  # 3 bits one band
+    ]
+    radius = n_bands - 1
+    df = imgs_df(spark, rows)
+    got = {
+        frozenset((p.image_id, p.dup_of))
+        for p in neardup.near_dup_pairs(
+            df, df, 0, n_bands=n_bands, band_bits=band_bits
+        ).collect()
+        if p.hamming <= radius
+    }
+    assert got == _brute_pairs_radius(rows, radius)
+
+
+def test_band_index_wide_geometry_roundtrip(spark, tmp_path_factory):
+    """BandIndex with the 4x16 geometry finds cross-round planted dups
+    within the guaranteed radius and writes n_bands rows per new image."""
+    from pyspider_spark.tables import TableStore
+
+    base = 0x0123456789ABCDEF
+    wd = str(tmp_path_factory.mktemp("bandidx16"))
+    store = TableStore(spark, wd)
+    idx = neardup.BandIndex(store, n_bands=4, band_bits=16)
+    r0 = imgs_df(spark, [("r0a", base), ("r0b", 0x7EDCBA9876543210)])
+    idx.append_round(r0, 0)
+    assert store.last_append_rows("image_bands") == 4 * 2
+    r1 = imgs_df(spark, [("r1a", base ^ 0b101), ("r1b", 0x1111222233334444)])
+    cand = idx.candidate_images(r1)
+    got = {(p.image_id, p.dup_of, p.hamming) for p in idx.pairs_vs_corpus(cand, 1).collect()}
+    assert got == {("r1a", "r0a", 2)}
+
+
+def test_choose_geometry_rule():
+    assert neardup.choose_geometry(1_000) == (8, 8)
+    assert neardup.choose_geometry(1_000_000) == (4, 16)
+    assert neardup.choose_geometry(10**10) == (2, 32)
+    for n in (10**3, 10**6, 10**10):
+        nb, bb = neardup.choose_geometry(n)
+        assert nb * bb == 64
+
+
+def test_engine_accepts_wide_geometry(spark, tmp_path_factory):
+    """The engine runs end-to-end with a non-default geometry and only
+    reports pairs within that geometry's guaranteed radius."""
+    wd = str(tmp_path_factory.mktemp("ndwide"))
+    eng = CrawlEngine(
+        spark, wd, GraphSpec(n_hosts=2, chains_per_host=2),
+        n_seen_partitions=4, neardup_geometry=(4, 16),
+    )
+    eng.run(max_rounds=2)
+    nd = eng.store.read_or_empty("near_dup_images", neardup.NEAR_DUP_IMAGES)
+    assert all(r.hamming <= 3 for r in nd.collect())
+
+
 def test_sized_bloom_grows_and_stays_sparse(spark):
     import pandas as pd
 
