@@ -37,6 +37,33 @@ NGRAM_K = 3          # word-shingle width for direct Jaccard
 SIMHASH_BITS = 32
 
 
+def choose_minhash_geometry(corpus_size: int) -> tuple[int, int]:
+    """(n_minhash, n_bands) sized for the corpus.
+
+    The banded-LSH S-curve puts the candidate threshold at roughly
+    ``(1/b)^(1/r)`` with ``b`` bands of ``r`` rows; candidate volume per
+    band bucket grows with collision probability ``j^r`` summed over
+    the corpus. The default 8x4 (r=2) is fine at test scale but a
+    boilerplate-heavy web corpus at 10^9+ docs collides ~j² — one hot
+    band bucket can approach the whole corpus. Raising rows-per-band
+    sharpens the curve (j^4: a 0.5-jaccard pair collides 6% per band
+    instead of 25%) at the cost of more signature compute, which is a
+    per-row codegen projection and scales linearly — the right trade
+    at 100 TB. Returned geometries keep threshold ≈ 0.5-0.6:
+
+      corpus size        geometry   rows/band   ~threshold (1/b)^(1/r)
+      <= ~10^6           8 x 4      2           0.50
+      ~10^6 .. ~10^9     32 x 8     4           0.59
+      >  ~10^9           64 x 8     8           0.77 per-band, use
+                                                OR-of-8 ⇒ ~0.6 overall
+    """
+    if corpus_size <= 1_000_000:
+        return 8, 4
+    if corpus_size <= 1_000_000_000:
+        return 32, 8
+    return 64, 8
+
+
 def h32_sql(arg_sql: str) -> str:
     """Spark-SQL snippet for the portable 32-bit hash of a string expr."""
     return f"cast(conv(substr(md5({arg_sql}), 1, 8), 16, 10) as bigint)"
@@ -76,7 +103,12 @@ def with_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     return docs.withColumn("shingles", F.expr(_shingle_sql(TOKENS_SQL, k)))
 
 
-def minhash_signature(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+def minhash_signature(
+    docs: DataFrame,
+    k: int = SHINGLE_K,
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
     """doc_id + mh0..mh{N-1} + band0..band{B-1} (docs with ≥k tokens).
 
     All N minhashes come from ONE nested-transform expression over the
@@ -86,22 +118,24 @@ def minhash_signature(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     whole cost). The single `_mhs` array keeps one evaluation per row;
     the per-column extracts are cheap element_at projections that
     CollapseProject will not inline into duplicated work."""
+    assert n_minhash % n_bands == 0, "bands must tile the signature"
+    rows_per_band = n_minhash // n_bands
     df = with_shingles(docs, k).filter(F.size("shingles") > 0)
     seeded = h32_sql("concat(cast(i as string), ':', cast(h as string))")
     df = df.withColumn(
         "_mhs",
         F.expr(
-            f"transform(sequence(0, {N_MINHASH - 1}), "
+            f"transform(sequence(0, {n_minhash - 1}), "
             f"i -> array_min(transform(shingles, h -> {seeded})))"
         ),
     )
     df = df.select(
-        "*", *[F.element_at("_mhs", i + 1).alias(f"mh{i}") for i in range(N_MINHASH)]
+        "*", *[F.element_at("_mhs", i + 1).alias(f"mh{i}") for i in range(n_minhash)]
     ).drop("_mhs")
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         parts = ", ".join(
-            f"cast(mh{b * ROWS_PER_BAND + r} as string)"
-            for r in range(ROWS_PER_BAND)
+            f"cast(mh{b * rows_per_band + r} as string)"
+            for r in range(rows_per_band)
         )
         df = df.withColumn(
             f"band{b}", F.md5(F.expr(f"concat_ws(':', '{b}', {parts})"))
@@ -109,12 +143,12 @@ def minhash_signature(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     return df
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """Band-bucket self-join → distinct candidate (doc_a < doc_b) pairs.
     One shuffle on the band key; no all-pairs join."""
     bands = sigs.select(
         "doc_id",
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
             "band_key"
         ),
     )
@@ -145,18 +179,27 @@ def jaccard_bp_duck(a: str, b: str) -> str:
 
 
 def minhash_near_dups(
-    docs: DataFrame, threshold_bp: int = 4000, k: int = SHINGLE_K
+    docs: DataFrame,
+    threshold_bp: int = 4000,
+    k: int = SHINGLE_K,
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
     exact-Jaccard verify on candidates only. Signatures are persisted:
     three consumers (band explode, verify left, verify right) would
-    otherwise each re-run the md5 shingle extraction."""
+    otherwise each re-run the md5 shingle extraction.
+
+    Geometry defaults to 8x4 (mirrored by the DuckDB oracle); pass
+    ``choose_minhash_geometry(corpus_size)`` at scale — the verify
+    stage is geometry-independent (exact Jaccard on candidates), so a
+    wider geometry only *prunes* candidates below the S-curve knee."""
     from pyspark import StorageLevel
 
-    sigs = minhash_signature(docs, k).select(
-        "doc_id", "shingles", *[f"band{b}" for b in range(N_BANDS)]
+    sigs = minhash_signature(docs, k, n_minhash=n_minhash, n_bands=n_bands).select(
+        "doc_id", "shingles", *[f"band{b}" for b in range(n_bands)]
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = lsh_candidate_pairs(sigs)
+    pairs = lsh_candidate_pairs(sigs, n_bands=n_bands)
     sh = sigs.select("doc_id", "shingles")
     verified = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), on="doc_a")

@@ -62,3 +62,26 @@ def test_ngram_lsh_vs_exact_properties(spark):
     langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
     cross = [k for k in lsh if langs.get(k[0]) != langs.get(k[1])]
     assert cross, "LSH blocking should surface cross-lang duplicates"
+
+
+def test_minhash_wide_geometry(spark):
+    """Scale geometry (32 hashes x 8 bands, r=4): high-jaccard pairs
+    are still found, the candidate band volume prunes harder than the
+    default r=2 curve, and verified output is a subset of the default's
+    (the verify stage is geometry-independent exact Jaccard)."""
+    from pyspider_spark.data import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = {(r.doc_a, r.doc_b): r.jaccard_bp
+            for r in D.minhash_near_dups(docs, 4000).collect()}
+    wide = {(r.doc_a, r.doc_b): r.jaccard_bp
+            for r in D.minhash_near_dups(
+                docs, 4000, n_minhash=32, n_bands=8).collect()}
+    high = {k for k, v in base.items() if v >= 9000}
+    assert high and high <= set(wide), "wide geometry lost a near-exact pair"
+    assert set(wide) <= set(base), "verify stage admitted a non-candidate pair"
+    for k, v in wide.items():
+        assert v == base[k], "exact-Jaccard verify must not depend on geometry"
+    assert D.choose_minhash_geometry(10**4) == (8, 4)
+    assert D.choose_minhash_geometry(10**8) == (32, 8)
+    assert D.choose_minhash_geometry(10**10) == (64, 8)
