@@ -166,18 +166,21 @@ def synth_image(image_id: str, w: int, h: int) -> np.ndarray:
     if h64("dupflag", image_id) % NEARDUP_ONE_IN == 0:
         motif = f"motif{h64('dupsel', image_id) % NEARDUP_MOTIFS}"
     base = np.frombuffer(hbytes(64, "img", motif), np.uint8).astype(np.float64)
-    yy, xx = np.mgrid[0:h, 0:w]
-    u, v = xx / w, yy / h  # resolution-normalized coordinates
-    chans = []
+    # The sinusoid base is separable — the sin term varies only along x
+    # and the cos term only along y — so each channel is a 1-D trig
+    # evaluation broadcast into the plane: O(w + h) trig instead of
+    # O(w * h), and no int64 mgrid planes. The broadcast add feeds each
+    # output element exactly the operands the elementwise form used, in
+    # the same order ((128 + s) + c), so pixels are BITWISE identical
+    # to the original formulation (pinned by tests).
+    u = np.arange(w, dtype=np.int64) / w  # resolution-normalized coords
+    v = np.arange(h, dtype=np.int64) / h
+    img = np.empty((h, w, 3), np.float64)
     for c in range(3):
         a, b, ph, fr = base[c * 4 : c * 4 + 4]
-        chan = (
-            128
-            + 45 * np.sin((u * (3 + a % 5) + ph / 255.0) * 2 * np.pi)
-            + 45 * np.cos((v * (3 + b % 5) + fr / 255.0) * 2 * np.pi)
-        )
-        chans.append(chan)
-    img = np.stack(chans, axis=-1)
+        su = 128 + 45 * np.sin((u * (3 + a % 5) + ph / 255.0) * 2 * np.pi)
+        cv = 45 * np.cos((v * (3 + b % 5) + fr / 255.0) * 2 * np.pi)
+        img[:, :, c] = su[None, :] + cv[:, None]
     # per-motif 8x8 block offsets: each block's luma mean moves by a
     # hash-derived ±(30..60), far from the global mean, so every aHash
     # bit is an independent coin flip per motif
@@ -191,8 +194,12 @@ def synth_image(image_id: str, w: int, h: int) -> np.ndarray:
             g[h64(f"flip{j}", image_id) % 64] *= -1.0  # flip ~1 aHash bit
         grid = g.reshape(8, 8)
         # byte-level dither: same-motif images differ everywhere in
-        # pixel space while block means (the phash) barely move
-        img += (((xx + yy) % 2)[..., None] - 0.5) * (
+        # pixel space while block means (the phash) barely move.
+        # (x + y) % 2 checkerboard via broadcast of the 1-D ranges —
+        # identical integers to the old mgrid form.
+        checker = (np.arange(h, dtype=np.int64)[:, None]
+                   + np.arange(w, dtype=np.int64)[None, :]) % 2
+        img += (checker[..., None] - 0.5) * (
             2.0 * (1 + h64("dith", image_id) % 4)
         )
     img += np.kron(grid, np.ones((h // 8, w // 8)))[..., None]

@@ -43,3 +43,63 @@ def test_unknown_format_raises():
         imaging.encode(rgb, "webp")
     with pytest.raises(NotImplementedError):
         imaging.decode(b"123", "webp")
+
+
+def test_synth_separable_matches_elementwise_reference():
+    """synth_image computes the sinusoid base via 1-D trig broadcast
+    (O(w+h) instead of O(w*h) trig). This pins bitwise identity to the
+    direct elementwise formulation: the broadcast feeds each output
+    element the same operands in the same order, so the planes must be
+    EQUAL, not merely allclose — including the motif/near-dup branch."""
+    import numpy as np
+
+    from pyspider_spark.imaging import (
+        NEARDUP_MOTIFS,
+        NEARDUP_ONE_IN,
+        h64,
+        hbytes,
+    )
+
+    def reference(image_id, w, h):
+        motif = image_id
+        if h64("dupflag", image_id) % NEARDUP_ONE_IN == 0:
+            motif = f"motif{h64('dupsel', image_id) % NEARDUP_MOTIFS}"
+        base = np.frombuffer(hbytes(64, "img", motif), np.uint8).astype(np.float64)
+        yy, xx = np.mgrid[0:h, 0:w]
+        u, v = xx / w, yy / h
+        chans = []
+        for c in range(3):
+            a, b, ph, fr = base[c * 4 : c * 4 + 4]
+            chans.append(
+                128
+                + 45 * np.sin((u * (3 + a % 5) + ph / 255.0) * 2 * np.pi)
+                + 45 * np.cos((v * (3 + b % 5) + fr / 255.0) * 2 * np.pi)
+            )
+        img = np.stack(chans, axis=-1)
+        blk = np.frombuffer(hbytes(64, "imgblk", motif), np.uint8).astype(np.float64)
+        grid = np.where(blk >= 128, 1.0, -1.0) * (30.0 + (blk % 128) / 127.0 * 30.0)
+        grid = grid.reshape(8, 8)
+        if motif != image_id:
+            nflip = 1 + h64("nflip", image_id) % 3
+            g = grid.flatten()
+            for j in range(nflip):
+                g[h64(f"flip{j}", image_id) % 64] *= -1.0
+            grid = g.reshape(8, 8)
+            img += (((xx + yy) % 2)[..., None] - 0.5) * (
+                2.0 * (1 + h64("dith", image_id) % 4)
+            )
+        img += np.kron(grid, np.ones((h // 8, w // 8)))[..., None]
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    import numpy as np
+
+    checked_dup = 0
+    for i in range(96):
+        iid = f"sep{i}"
+        w, h = [(32, 32), (64, 128), (96, 64)][i % 3]
+        if h64("dupflag", iid) % NEARDUP_ONE_IN == 0:
+            checked_dup += 1
+        assert np.array_equal(
+            imaging.synth_image(iid, w, h), reference(iid, w, h)
+        ), f"pixel mismatch for {iid} at {w}x{h}"
+    assert checked_dup, "sample never hit the motif branch — widen the loop"
