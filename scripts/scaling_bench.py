@@ -77,11 +77,25 @@ def build_frontier(spark, n_rows: int, n_hosts: int):
     )
 
 
-def run_one(cores: int) -> dict:
+def run_one(cores: int, pin: bool = True) -> dict:
     from pyspider_spark.loop import CrawlEngine
     from pyspider_spark.schemas import FRONTIER
     from pyspider_spark.session import get_spark
     from pyspider_spark.synth import GraphSpec
+
+    # Pin the WHOLE process tree (this driver, the JVM it forks, every
+    # Python worker) to `cores` hardware cores BEFORE the JVM starts.
+    # local[N] caps only task slots — JVM-internal threads (parquet
+    # writers, GC, Arrow readers) and the OS scheduler otherwise spread
+    # onto all physical cores, so an unpinned local[8] borrows CPU an
+    # 8-core executor would not have and corrupts the N-vs-4N study.
+    # (Measured: pinning local[8] is also slightly FASTER here — cache
+    # affinity — so this is honesty, not a handicap.)
+    if pin:
+        try:
+            os.sched_setaffinity(0, set(range(cores)))
+        except (AttributeError, OSError):
+            pass  # non-Linux or already restricted
 
     spark = get_spark(
         f"scaling{cores}", cores=cores, shuffle_partitions=cores * 2
@@ -102,6 +116,7 @@ def run_one(cores: int) -> dict:
         return {
             "phase_seconds": {k: round(v, 2) for k, v in eng.phase_times.items()},
             "cores": cores,
+            "pinned": pin,
             "frontier_rows": FRONTIER_ROWS,
             "urls_scheduled_fetched": stats.popped,
             "images_landed": stats.images_landed,
@@ -119,10 +134,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument(
+        "--no-pin",
+        action="store_true",
+        help="skip sched_setaffinity core pinning (see run_one docstring)",
+    )
     args = ap.parse_args()
 
     if args.cores is not None:
-        payload = json.dumps(run_one(args.cores))
+        payload = json.dumps(run_one(args.cores, pin=not args.no_pin))
         if args.out:
             with open(args.out, "w") as f:
                 f.write(payload)
@@ -140,8 +160,11 @@ def main() -> None:
         for _ in range(repeat):
             with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
                 out = f.name
+            argv = [sys.executable, os.path.abspath(__file__), "--cores", str(cores), "--out", out]
+            if args.no_pin:
+                argv.append("--no-pin")
             subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cores", str(cores), "--out", out],
+                argv,
                 check=True,
                 cwd=REPO,
                 stdout=subprocess.DEVNULL,
