@@ -42,11 +42,51 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_DIR = "_manifests"
 
 
+# Data files are immutable once a snapshot lists them (uuid-named dirs,
+# append-only store), so footer metadata is memoized per path — the
+# Iceberg-manifest-statistics analogue. Without this, every per-round
+# counter re-opens every footer of every data dir the table has ever
+# appended: O(rounds x files) driver-side opens per round.
+_FOOTER_ROWS: dict[str, int] = {}
+_FOOTER_COLMIN: dict[tuple[str, str], object] = {}
+_NO_STAT = object()  # memoized "this file lacks min/max stats"
+
+
+def _file_rows(p: str) -> int:
+    n = _FOOTER_ROWS.get(p)
+    if n is None:
+        n = _FOOTER_ROWS[p] = pq.ParquetFile(p).metadata.num_rows
+    return n
+
+
+def _file_colmin(p: str, column: str):
+    """Min of `column` across the file's row groups from footer stats;
+    _NO_STAT if any chunk lacks them."""
+    key = (p, column)
+    if key in _FOOTER_COLMIN:
+        return _FOOTER_COLMIN[key]
+    md = pq.ParquetFile(p).metadata
+    best = None
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            if col.path_in_schema != column:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                _FOOTER_COLMIN[key] = _NO_STAT
+                return _NO_STAT
+            if best is None or st.min < best:
+                best = st.min
+    _FOOTER_COLMIN[key] = best
+    return best
+
+
 def parquet_file_rows(dirs: list[str]) -> list[tuple[str, int]]:
     """(file, num_rows) for every parquet file under dirs — read from the
-    footers only (driver-side metadata op, no Spark job). This is the
-    Iceberg-manifest-statistics analogue: counters come from file
-    metadata, not from re-scanning data."""
+    footers only (driver-side metadata op, no Spark job), memoized per
+    immutable file."""
     out = []
     for d in dirs:
         if not os.path.isdir(d):
@@ -54,7 +94,7 @@ def parquet_file_rows(dirs: list[str]) -> list[tuple[str, int]]:
         for f in sorted(os.listdir(d)):
             if f.endswith(".parquet"):
                 p = os.path.join(d, f)
-                out.append((p, pq.ParquetFile(p).metadata.num_rows))
+                out.append((p, _file_rows(p)))
     return out
 
 
@@ -235,18 +275,11 @@ class TableStore:
             for f in os.listdir(d):
                 if not f.endswith(".parquet"):
                     continue
-                md = pq.ParquetFile(os.path.join(d, f)).metadata
-                for g in range(md.num_row_groups):
-                    rg = md.row_group(g)
-                    for c in range(rg.num_columns):
-                        col = rg.column(c)
-                        if col.path_in_schema != column:
-                            continue
-                        st = col.statistics
-                        if st is None or not st.has_min_max:
-                            return None
-                        if best is None or st.min < best:
-                            best = st.min
+                v = _file_colmin(os.path.join(d, f), column)
+                if v is _NO_STAT:
+                    return None
+                if v is not None and (best is None or v < best):
+                    best = v
         return best
 
     def last_append_rows(self, name: str) -> int:
