@@ -27,8 +27,13 @@ the k filter is pushed; verified in .explain).
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 QUANT = 1000  # milli-unit quantization for the exact integer variant
 N_PLANES = 8  # LSH signature bits (256 buckets; raise with corpus size)
@@ -143,6 +148,69 @@ def lsh_signature_q_expr(qvec_sql: str, table: int = 0, n_planes: int = N_PLANES
     return "(" + " + ".join(bits) + ")"
 
 
+# ---- vectorized all-table signature path (the 10^9-vector hot loop) ----
+#
+# lsh_signature_q_expr builds ONE table's signature as n_planes
+# interpreted aggregate(zip_with(...)) folds with the quantization
+# transform re-inlined per plane — n_tables x n_planes uninterpreted
+# lambda folds per row (32 at the ann defaults), which dominated the
+# round-2 bench (9.9s vs 1.65s at sf0.1). The matmul below computes the
+# IDENTICAL integers in one Arrow-batched pass: quantize once, then
+# (batch x dim) @ (dim x tables*planes) int64 matmul against the same
+# md5-derived ±1 plane matrix, sign → bits → per-table signature. Bit
+# equality with the SQL fold is pinned by tests/test_ann_recall.py::
+# test_vectorized_sigs_match_sql_fold and transitively by the s_ann_lsh
+# DuckDB oracle (queries.py mirrors the fold in SQL).
+
+_PLANE_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _plane_matrix(dim: int, n_tables: int, n_planes: int) -> np.ndarray:
+    """±1 hyperplane components, column (t*n_planes + p), row i — the
+    exact values of _plane_component_sql(p, i, t)."""
+    key = (dim, n_tables, n_planes)
+    m = _PLANE_CACHE.get(key)
+    if m is None:
+        m = np.empty((dim, n_tables * n_planes), dtype=np.int64)
+        for t in range(n_tables):
+            for p in range(n_planes):
+                col = t * n_planes + p
+                for i in range(dim):
+                    h = int(
+                        hashlib.md5(f"plane:{t}:{p}:{i}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    m[i, col] = 1 if h % 2 == 0 else -1
+        _PLANE_CACHE[key] = m
+    return m
+
+
+def all_table_sigs_udf(n_tables: int, n_planes: int):
+    """pandas UDF: embedding -> array of n_tables integer signatures,
+    bit-identical to [lsh_signature_q_expr(quantize(e), t, n_planes)
+    for t in range(n_tables)].
+
+    Quantization matches Spark's `floor(x * 1000)` on FloatType exactly:
+    the product is float32 arithmetic (Spark coerces the int literal to
+    float), floor of a float32 is exact, and |x*1000| << 2^24 so no
+    precision cliff."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(e, dtype=np.float32) for e in embs])
+        qv = np.floor(mat * np.float32(QUANT)).astype(np.int64)
+        planes = _plane_matrix(qv.shape[1], n_tables, n_planes)
+        dots = qv @ planes  # (batch, n_tables * n_planes), exact int64
+        bits = (dots > 0).reshape(len(embs), n_tables, n_planes)
+        weights = np.left_shift(np.int64(1), np.arange(n_planes, dtype=np.int64))
+        sig = (bits * weights).sum(axis=2)
+        return pd.Series(list(sig))
+
+    return sigs
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     n_queries: int = 20,
@@ -161,20 +229,8 @@ def ann_lsh_topk(
     vector — never the vectors themselves; the exact rerank touches
     only the candidate set. See tests/test_ann_recall.py for the
     measured recall-vs-bruteforce gate."""
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                F.expr(
-                    lsh_signature_q_expr(_quantize("embedding"), t, n_planes)
-                ).alias("sig"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    slim = emb.select(
-        "vec_id", F.explode(sigs).alias("ts")
-    ).select("vec_id", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+    sig_arr = all_table_sigs_udf(n_tables, n_planes)(F.col("embedding"))
+    slim = emb.select("vec_id", F.posexplode(sig_arr).alias("t", "sig"))
     q_slim = slim.filter(F.col("vec_id") < n_queries).withColumnRenamed(
         "vec_id", "qid"
     )

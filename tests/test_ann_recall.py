@@ -40,6 +40,33 @@ def test_ann_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.4, f"ANN recall {recall:.2f} vs bruteforce too low"
 
 
+def test_vectorized_sigs_match_sql_fold(spark, emb):
+    """The Arrow-batched matmul signature path (similarity.
+    all_table_sigs_udf — the 10^9-vector hot loop) must produce the
+    EXACT integers of the interpreted SQL fold it replaced
+    (lsh_signature_q_expr, which the DuckDB oracle mirrors)."""
+    from pyspark.sql import functions as F
+
+    sql_sigs = emb.select(
+        "vec_id",
+        *[
+            F.expr(
+                S.lsh_signature_q_expr(S._quantize("embedding"), t, S.ANN_PLANES)
+            ).alias(f"s{t}")
+            for t in range(S.N_TABLES)
+        ],
+    )
+    vec_sigs = emb.select(
+        "vec_id",
+        S.all_table_sigs_udf(S.N_TABLES, S.ANN_PLANES)(F.col("embedding")).alias("a"),
+    ).select(
+        "vec_id",
+        *[F.element_at("a", t + 1).alias(f"s{t}") for t in range(S.N_TABLES)],
+    )
+    assert sql_sigs.exceptAll(vec_sigs).count() == 0
+    assert vec_sigs.exceptAll(sql_sigs).count() == 0
+
+
 def test_ann_recall_monotone_in_tables(spark, emb):
     one = _topk_sets(S.ann_lsh_topk(emb, n_queries=N_Q, k=K, n_tables=1))
     four = _topk_sets(S.ann_lsh_topk(emb, n_queries=N_Q, k=K, n_tables=4))
