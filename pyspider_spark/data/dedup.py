@@ -49,19 +49,29 @@ def choose_minhash_geometry(corpus_size: int) -> tuple[int, int]:
     sharpens the curve (j^4: a 0.5-jaccard pair collides 6% per band
     instead of 25%) at the cost of more signature compute, which is a
     per-row codegen projection and scales linearly — the right trade
-    at 100 TB. Returned geometries keep threshold ≈ 0.5-0.6:
+    at 100 TB:
 
-      corpus size        geometry   rows/band   ~threshold (1/b)^(1/r)
-      <= ~10^6           8 x 4      2           0.50
-      ~10^6 .. ~10^9     32 x 8     4           0.59
-      >  ~10^9           64 x 8     8           0.77 per-band, use
-                                                OR-of-8 ⇒ ~0.6 overall
+      corpus size        geometry    rows/band   threshold (1/b)^(1/r)
+      <= ~10^6           8 x 4       2           0.50
+      ~10^6 .. ~10^9     32 x 8      4           0.59
+      >  ~10^9           128 x 16    8           0.71
+
+    The (1/b)^(1/r) formula already integrates the OR over all b bands,
+    so the top tier's threshold really is ≈0.71 — there is no further
+    "OR-of-bands" discount. Callers verifying at a LOWER threshold than
+    the tier provides must buy recall with more bands: at r=8, a ~0.6
+    knee needs b = (1/0.6)^8 ≈ 60 → 64 bands x 8 rows = 512 hashes
+    (band count grows as (1/t)^r). The 128x16 tier deliberately accepts
+    the 0.71 knee to cap signature cost at 128 hashes/doc; pairs in the
+    0.4-0.7 jaccard range have low candidate recall there, so pair it
+    with ``threshold_bp >= 7000`` (near-dup policy) rather than the
+    default 4000 (fuzzy-match policy).
     """
     if corpus_size <= 1_000_000:
         return 8, 4
     if corpus_size <= 1_000_000_000:
         return 32, 8
-    return 64, 8
+    return 128, 16
 
 
 def h32_sql(arg_sql: str) -> str:
@@ -191,9 +201,14 @@ def minhash_near_dups(
     otherwise each re-run the md5 shingle extraction.
 
     Geometry defaults to 8x4 (mirrored by the DuckDB oracle); pass
-    ``choose_minhash_geometry(corpus_size)`` at scale — the verify
-    stage is geometry-independent (exact Jaccard on candidates), so a
-    wider geometry only *prunes* candidates below the S-curve knee."""
+    ``choose_minhash_geometry(corpus_size)`` at scale. The verify stage
+    is geometry-independent (exact Jaccard on candidates), so two
+    geometries always AGREE on the pairs both surface; the candidate
+    SETS are not nested in general — each geometry hashes its own
+    minhash family, so a moderate-jaccard pair can collide in one
+    family's bands and not the other's. What a wider geometry buys is a
+    sharper S-curve (far fewer sub-knee candidates in expectation), not
+    a subset guarantee."""
     from pyspark import StorageLevel
 
     sigs = minhash_signature(docs, k, n_minhash=n_minhash, n_bands=n_bands).select(

@@ -36,9 +36,9 @@ _FETCH_COLS = [
 
 
 # per-request external params (U4/P15) riding along for the real
-# fetcher: ua / proxy / headers are consumed inside the batch and
-# dropped from the result (FETCH_RESULTS schema is unchanged)
-_PARAM_COLS = ["ua", "proxy", "headers"]
+# fetcher: ua / proxy / anti-bot tokens / headers are consumed inside
+# the batch and dropped from the result (FETCH_RESULTS is unchanged)
+_PARAM_COLS = ["ua", "proxy", "nano_fp", "anti_content", "headers"]
 
 
 def run_fetch(popped: DataFrame, spec: synth.GraphSpec) -> DataFrame:

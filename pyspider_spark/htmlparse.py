@@ -67,10 +67,16 @@ class Node:
         return t if t else None
 
     def text(self) -> str:
-        """All descendant text, concatenated."""
-        parts = ["".join(self._text)]
-        for c in self.children:
-            parts.append(c.text())
+        """All descendant text, concatenated (iterative pre-order — a
+        hostile page nested thousands of tags deep must not overflow
+        the recursion limit; same output as the recursive fold since
+        direct text lumps ahead of child text at every level)."""
+        parts = []
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            parts.append("".join(n._text))
+            stack.extend(reversed(n.children))
         return "".join(parts)
 
     def _matches(self, tag: str | None, attrs: dict | None) -> bool:

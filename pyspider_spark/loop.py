@@ -246,15 +246,10 @@ class CrawlEngine:
     # ---------------------------------------------------------- bootstrap
     def bootstrap(self) -> None:
         spark = self.spark
-        self.store.overwrite(
-            "config", spark.createDataFrame(synth.config_rows(self.spec), CONFIG)
-        )
-        self.store.overwrite(
-            "robots",
-            spark.createDataFrame(
-                pd.DataFrame(synth.robots_rows(self.spec)), ROBOTS
-            ),
-        )
+        # config/robots are driver-held dim lists — pyarrow writes, no
+        # Spark jobs (two fewer fixed-latency jobs in the cold start)
+        self.store.overwrite_rows("config", synth.config_rows(self.spec), CONFIG)
+        self.store.overwrite_rows("robots", synth.robots_rows(self.spec), ROBOTS)
         seeds = spark.createDataFrame(
             [(u,) for u in synth.seed_urls(self.spec)], ["url"]
         )
@@ -433,8 +428,11 @@ class CrawlEngine:
             new_links_raw = new_links_raw.unionByName(
                 stages.sales_chunk_links(api_items, spec.sales_chunk_size)
             )
-        new_rows = self._vet_new_links(new_links_raw, r, stats).persist()
-        stats.new_links = new_rows.count()
+        # vet counters are DEFERRED into the concurrent write phase
+        # (count_fn shares the marked frame's cache blocks with the
+        # frontier write) — the serial parse_vet phase only BUILDS plans
+        vet_count_fn, new_rows = self._vet_new_links(new_links_raw, r, stats)
+        new_rows = new_rows.persist()
         self._mark("parse_vet")
 
         items_fn = (
@@ -464,7 +462,7 @@ class CrawlEngine:
 
         self._write_round_outputs(
             r, stats, popped, items, api_items, images, frontier_delta,
-            new_rows=new_rows, sales=sales,
+            new_rows=new_rows, sales=sales, vet_count_fn=vet_count_fn,
         )
 
         for df in (results, requeue, parsed_api, new_rows):
@@ -491,20 +489,29 @@ class CrawlEngine:
         nb, bb = self.neardup_geometry
         idx = neardup.BandIndex(store, n_bands=nb, band_bits=bb)
         new_imgs = store.read_last_append("images", IMAGES).select("image_id", "phash")
-        pairs = neardup.near_dup_pairs(new_imgs, new_imgs, r, n_bands=nb, band_bits=bb)
+        # ONE persisted band explode feeds all four index operations
+        # this round (in-batch pairs both sides, corpus lookup, index
+        # append, blob build) — round 2 re-ran the explode per op and
+        # paid ~5 extra fixed-latency jobs per round at toy round sizes.
+        bands = idx.bands_of(new_imgs).persist()
+        t0 = time.perf_counter()
+        pairs = neardup.pairs_from_bands(bands, bands, r, max_hamming=nb - 1)
         if idx.has_corpus():
-            cand = idx.candidate_images(new_imgs)
             pairs = pairs.unionByName(
-                idx.pairs_vs_corpus(cand, r)
+                idx.pairs_vs_corpus_bands(bands, r)
             ).dropDuplicates(["image_id", "dup_of"])
         store.append(
             "near_dup_images",
             pairs.select(*[f.name for f in neardup.NEAR_DUP_IMAGES.fields]),
         )
-        self._mark("nd_pairs")
-        # index this round's images for future rounds' lookups
-        idx.append_round(new_imgs, r)
-        self._mark("nd_index")
+        t1 = time.perf_counter()
+        # index this round's images for future rounds' lookups (local
+        # timing, not _mark: this runs inside a writer thread)
+        idx.append_round_bands(bands, r)
+        bands.unpersist()
+        t2 = time.perf_counter()
+        self.phase_times["nd_pairs"] = self.phase_times.get("nd_pairs", 0.0) + (t1 - t0)
+        self.phase_times["nd_index"] = self.phase_times.get("nd_index", 0.0) + (t2 - t1)
 
     def _fetch_with_memo(self, popped: DataFrame, r: int) -> DataFrame:
         """S14/J2 at engine level: cache-aside around the fetcher. Hits
@@ -552,6 +559,40 @@ class CrawlEngine:
         )
         return hits.unionByName(fetched.select(*result_cols))
 
+    def ingest_urls(self, urls: DataFrame, next_round: int) -> int:
+        """Out-of-band URL ingestion (S10 Kafka-source path,
+        streaming.drain_seeds_into_engine): vet (url, parent?, meta?)
+        rows exactly like discovered links — canonicalize → in-batch
+        dedup → enqueued-set anti-join → robots — and append survivors
+        as frontier rows due at ``next_round``. Returns rows added.
+        Call between rounds; the next round's checkpoint pins them."""
+        cols = urls.columns
+        links = urls
+        if "parent" not in cols:
+            links = links.withColumn("parent", F.lit(None).cast("string"))
+        if "meta" not in cols:
+            links = links.withColumn(
+                "meta", F.lit(None).cast("map<string,string>")
+            )
+        stats = RoundStats(round=next_round - 1)
+        self._round_persists = []
+        _count_fn, rows = self._vet_new_links(
+            links.select("url", "parent", "meta"), next_round - 1, stats
+        )
+        rows = rows.persist()
+        n = rows.count()
+        if n > 0:
+            self.store.append(
+                "frontier", rows.select(*[f.name for f in FRONTIER.fields])
+            )
+            self.enqueued.add(rows, next_round - 1, assume_new=True)
+            self.last_frontier_rows = self.store.count_rows(
+                "frontier"
+            ) - self.store.count_rows("tomb")
+        rows.unpersist()
+        self._unpersist_round()
+        return n
+
     def _exclude_tombstoned(self, ready: DataFrame) -> DataFrame:
         """frontier ∖ popped, keyed (url_canon, retries). Tombstones
         since the last compaction are small — O(rounds_since × pops) —
@@ -567,14 +608,20 @@ class CrawlEngine:
             tomb = F.broadcast(tomb)
         return ready.join(tomb, on=["url_canon", "retries"], how="left_anti")
 
-    def _vet_new_links(self, links: DataFrame, r: int, stats: RoundStats) -> DataFrame:
+    def _vet_new_links(self, links: DataFrame, r: int, stats: RoundStats):
         """Canonicalize discovered links and vet them at DISCOVERY time:
         in-batch first-parent dedup → enqueued-set membership (bloom
         prefilter + exact verify; covers seen, queued, and every earlier
         discovery) → robots. Survivors are final frontier rows (vetted
         once, never re-vetted); dropped rows are never written at all.
-        Counters land in this round's stats: ``deduped`` = in-batch dups
-        + enqueued hits, ``robots_blocked`` at discovery round."""
+
+        Returns ``(count_fn, survivors)``: calling ``count_fn()`` runs
+        ONE aggregation over the marked frame and lands the counters in
+        this round's stats (``deduped`` = in-batch dups + enqueued hits,
+        ``robots_blocked``, ``new_links``). The engine defers it into
+        the concurrent write families — it shares the marked frame's
+        cached blocks with the frontier write, so deferring removes the
+        whole vet materialization from the round's serial path."""
         canon = links.withColumn("url_canon", canonicalize_udf("url")).withColumn(
             "host", host_of(F.col("url_canon"))
         )
@@ -596,28 +643,38 @@ class CrawlEngine:
             F.col("_b.host").alias("host"),
             F.col("_b.meta").alias("meta"),
             "_c",
-        ).persist()
-        self._round_persists.append(canon)
-        counts = canon.agg(
-            F.sum("_c").alias("raw"), F.count(F.lit(1)).alias("batch")
-        ).collect()[0]
-        n_raw = int(counts["raw"] or 0)
-        n_batch = int(counts["batch"])
-        canon = canon.drop("_c")
-        novel = self.enqueued.filter_unseen(canon)
+        )
+        # ONE materialization + ONE aggregation job carries every vet
+        # counter: the enqueued-membership check MARKS dup rows (_enq)
+        # instead of dropping them, robots MARKS blocked rows (_blk),
+        # and raw/batch/dups/blocked/kept all fall out of the same agg
+        # over the same persisted frame. (Round 2 ran three jobs here —
+        # canon counts, blk counts, survivors count — each re-walking
+        # part of the link-explode chain.)
+        marked = self.enqueued.mark_unseen(canon, flag="_enq")
         robots_df = self.store.read_or_empty("robots", ROBOTS)
-        marked = scheduler.robots_mark(novel, robots_df).persist()
+        marked = scheduler.robots_mark(marked, robots_df).persist()
         self._round_persists.append(marked)
-        cmap = {
-            row["_blk"]: row["count"]
-            for row in marked.groupBy("_blk").count().collect()
-        }
-        n_blocked = int(cmap.get(True, 0))
-        n_kept = int(cmap.get(False, 0))
-        stats.deduped += (n_raw - n_batch) + (n_batch - n_blocked - n_kept)
-        stats.robots_blocked += n_blocked
-        survivors = marked.filter(~F.col("_blk")).drop("_blk")
-        return survivors.select(
+        not_dup = ~F.col("_enq")
+
+        def count_fn() -> None:
+            c = marked.agg(
+                F.sum("_c").alias("raw"),
+                F.count(F.lit(1)).alias("batch"),
+                F.count(F.when(F.col("_enq"), 1)).alias("enq"),
+                F.count(F.when(not_dup & F.col("_blk"), 1)).alias("blocked"),
+                F.count(F.when(not_dup & ~F.col("_blk"), 1)).alias("kept"),
+            ).collect()[0]
+            n_raw = int(c["raw"] or 0)
+            n_batch = int(c["batch"])
+            stats.deduped += (n_raw - n_batch) + int(c["enq"])
+            stats.robots_blocked += int(c["blocked"])
+            stats.new_links += int(c["kept"])  # == survivors, no extra job
+
+        survivors = marked.filter(not_dup & ~F.col("_blk")).drop(
+            "_blk", "_enq", "_c"
+        )
+        return count_fn, survivors.select(
             "url",
             "url_canon",
             "host",
@@ -637,17 +694,37 @@ class CrawlEngine:
 
     def _write_round_outputs(
         self, r, stats, popped, items, api_items, images, frontier_delta,
-        new_rows=None, sales=None,
+        new_rows=None, sales=None, vet_count_fn=None,
     ) -> None:
         """Write all round outputs; every counter after the writes comes
         from parquet-footer metadata (manifest statistics), not from
-        extra Spark count jobs — the per-round fixed cost is writes only.
-        All frontier maintenance is incremental: a tombstone append for
-        popped rows and a delta append for requeue+new rows."""
-        from .schemas import TOMB
+        extra Spark count jobs. All frontier maintenance is incremental:
+        a tombstone append for popped rows and a delta append for
+        requeue+new rows.
+
+        The four write families touch DISJOINT tables and read only this
+        round's persisted caches, so they are submitted CONCURRENTLY
+        from driver threads (standard Spark multi-job driver): the
+        per-round fixed cost becomes max(families), not sum(jobs) — at
+        toy round sizes the serialized scheduling latency of ~8 small
+        write jobs was the single largest slice of the round (BENCH r2
+        regression). Content is byte-identical: no family reads a table
+        another family writes, and the round ledger is committed once,
+        after every family has landed."""
+        from concurrent.futures import ThreadPoolExecutor
 
         store = self.store
-        if popped is not None:
+
+        def _timed(label: str, fn) -> None:
+            t0 = time.perf_counter()
+            fn()
+            self.phase_times[label] = self.phase_times.get(label, 0.0) + (
+                time.perf_counter() - t0
+            )
+
+        def work_seen_tomb() -> None:
+            if popped is None:
+                return
             first_pops = popped.filter(F.col("retries") == 0)
             self.seen.add(first_pops, r, assume_new=True)
             store.append(
@@ -656,50 +733,74 @@ class CrawlEngine:
                     "round", F.lit(r).cast("int")
                 ),
             )
-        self._mark("seen_tomb")
-        if items is not None:
-            store.append("items", items.select(*[f.name for f in ITEMS.fields]))
-            stats.items_emitted = store.last_append_rows("items")
-        if api_items is not None:
-            store.append("api_items", api_items.select(*[f.name for f in API_ITEMS.fields]))
-            stats.items_emitted += store.last_append_rows("api_items")
-        if sales is not None:
-            from .schemas import SALES_ITEMS
 
-            store.append(
-                "sales_items", sales.select(*[f.name for f in SALES_ITEMS.fields])
-            )
-            stats.items_emitted += store.last_append_rows("sales_items")
-        self._mark("write_items")
-        if images is not None:
+        def work_items() -> None:
+            if items is not None:
+                store.append("items", items.select(*[f.name for f in ITEMS.fields]))
+                stats.items_emitted += store.last_append_rows("items")
+            if api_items is not None:
+                store.append(
+                    "api_items", api_items.select(*[f.name for f in API_ITEMS.fields])
+                )
+                stats.items_emitted += store.last_append_rows("api_items")
+            if sales is not None:
+                from .schemas import SALES_ITEMS
+
+                store.append(
+                    "sales_items", sales.select(*[f.name for f in SALES_ITEMS.fields])
+                )
+                stats.items_emitted += store.last_append_rows("sales_items")
+
+        def work_images() -> None:
+            if images is None:
+                return
             store.append("images", images.select(*[f.name for f in IMAGES.fields]))
             stats.images_landed = store.last_append_rows("images")
-            self._mark("write_images")
             # the band index is appended AFTER the corpus lookup inside,
             # so this round's images never match their own bands
             if self.detect_near_dup_images and stats.images_landed > 0:
                 self._detect_near_dups(r)
-                self._mark("near_dup")
-        lineage = []
-        if frontier_delta is not None:
-            store.append(
-                "frontier",
-                frontier_delta.select(*[f.name for f in FRONTIER.fields]),
-            )
-            lineage = self._partition_lineage(r)
-        if new_rows is not None:
-            # register this round's vetted discoveries in the enqueued
-            # membership set (reads the delta from cache/plan, O(new))
-            self.enqueued.add(new_rows, r, assume_new=True)
+
+        lineage: list[dict] = []
+
+        def work_frontier() -> None:
+            nonlocal lineage
+            if frontier_delta is not None:
+                store.append(
+                    "frontier",
+                    frontier_delta.select(*[f.name for f in FRONTIER.fields]),
+                )
+                lineage = self._partition_lineage(r)
+            if new_rows is not None:
+                # register this round's vetted discoveries in the
+                # enqueued membership set (reads the delta cache, O(new))
+                self.enqueued.add(new_rows, r, assume_new=True)
+
+        families = [
+            ("seen_tomb", work_seen_tomb),
+            ("write_items", work_items),
+            ("write_images", work_images),
+            ("frontier_ckpt", work_frontier),
+        ]
+        if vet_count_fn is not None:
+            # the vet counter agg rides the same concurrency: it reads
+            # (or co-computes, under Spark's cache block locking) the
+            # marked frame the frontier write materializes anyway
+            families.append(("vet_counters", vet_count_fn))
+        with ThreadPoolExecutor(max_workers=len(families)) as ex:
+            futures = [ex.submit(_timed, lbl, fn) for lbl, fn in families]
+            for f in futures:
+                f.result()  # surface the first failure (resume prunes)
+
         # live backlog = appended rows minus pop tombstones, both from
         # parquet footers (tombstones match frontier rows 1:1)
         self.last_frontier_rows = store.count_rows("frontier") - store.count_rows("tomb")
 
-        metrics_row = self.spark.createDataFrame([stats.__dict__], METRICS)
-        store.append("metrics", metrics_row)
+        # one driver-held row — pyarrow write, no Spark job
+        store.append_rows("metrics", [stats.__dict__], METRICS)
 
         self._checkpoint(r, stats, lineage)
-        self._mark("frontier_ckpt")
+        self._t_last = time.perf_counter()
 
     def _partition_lineage(self, r: int) -> list[dict]:
         """Per-write-partition row counts of THIS round's frontier delta
@@ -744,9 +845,13 @@ class CrawlEngine:
           dead-row fraction to O(COMPACT_EVERY × pops).
         - bloom blobs: OR-merge accumulated per-round blobs so reads
           stay O(partitions), not O(rounds).
+        - fetch_cache: rewrite the live TTL window (newest row per key
+          still fresh at round r+1) and truncate history — TTL filters
+          prune *reads* via footer stats, but without this the table
+          accumulates one data dir per round and expired rows forever.
         """
         from . import neardup
-        from .schemas import TOMB
+        from .schemas import FETCH_CACHE, TOMB
 
         if self.store.count_rows("tomb") > 0:
             tomb = self.store.read_or_empty("tomb", TOMB).select(
@@ -759,6 +864,28 @@ class CrawlEngine:
                 "frontier", live.select(*[f.name for f in FRONTIER.fields])
             )
             self.store.overwrite("tomb", self.spark.createDataFrame([], TOMB))
+
+        if (
+            self.fetch_cache_ttl_rounds is not None
+            and self.store.count_rows("fetch_cache") > 0
+        ):
+            fresh = self.store.read_or_empty("fetch_cache", FETCH_CACHE).filter(
+                F.col("cached_round") >= (r + 1) - self.fetch_cache_ttl_rounds
+            )
+            entry = F.struct(
+                "status", "body", "out_links", "image_refs", "cached_round"
+            )
+            live = fresh.groupBy("url_canon").agg(
+                F.max_by(entry, F.col("cached_round")).alias("_c")
+            ).select(
+                "url_canon",
+                *[F.col(f"_c.{c}").alias(c) for c in (
+                    "status", "body", "out_links", "image_refs", "cached_round"
+                )],
+            )
+            self.store.overwrite(
+                "fetch_cache", live.select(*[f.name for f in FETCH_CACHE.fields])
+            )
 
         self.seen.compact_filters(r)
         self.enqueued.compact_filters(r)

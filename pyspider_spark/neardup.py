@@ -149,6 +149,12 @@ BAND_BLOB_BITS_MIN = 1 << 14  # floor for one round's per-partition blob
 BITS_PER_KEY = 16  # ≈0.1% FPR at 5 hashes
 SATURATION_DENSITY = 0.3  # set-bit fraction that forces a blob resize
 
+# Below this many stored band rows, the bloom probe + pid-collect cost
+# more than the corpus scan they prune (each is its own fixed-latency
+# Spark job; the probe also fans out Python workers) — verify directly
+# instead. Identical output either way; see pairs_vs_corpus_bands.
+DIRECT_VERIFY_MAX_BAND_ROWS = 2_000_000
+
 
 def band_pid(col):
     """Routes a band key to its bloom-blob partition (and is the
@@ -222,12 +228,25 @@ class BandIndex:
             .select("band_key", "image_id", "phash", "pid")
         )
 
+    def bands_of(self, images: DataFrame) -> DataFrame:
+        """Public band-row projection — callers that feed several index
+        operations in one round (the engine's _detect_near_dups) compute
+        this ONCE, persist it, and pass it to the ``*_bands`` variants
+        below so the explode doesn't re-run per operation."""
+        return self._bands_of(images)
+
     def append_round(self, new_images: DataFrame, round_no: int) -> None:
         """Index this round's new images: append their band rows (sorted
         by pid for stats pruning) and one right-sized bloom blob per
         touched partition."""
-        rows = self._bands_of(new_images).sort("pid")
-        self.store.append(self.bands_table, rows)
+        self.append_round_bands(self._bands_of(new_images), round_no)
+
+    def append_round_bands(self, bands: DataFrame, round_no: int) -> None:
+        """append_round over a precomputed (ideally persisted) band
+        frame: the blob build groups the SAME frame instead of
+        re-reading the just-written append from disk — one fewer
+        table scan per round on the crawl's hot path."""
+        self.store.append(self.bands_table, bands.sort("pid"))
         FILTERS = self._FILTERS
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -241,30 +260,21 @@ class BandIndex:
                 }
             )
 
-        blobs = (
-            self.store.read_last_append(self.bands_table, self._BANDS)
-            .groupBy("pid")
-            .applyInPandas(build, schema=FILTERS)
-        )
+        blobs = bands.groupBy("pid").applyInPandas(build, schema=FILTERS)
         self.store.append(self.filters_table, blobs)
 
     def has_corpus(self) -> bool:
         return self.store.count_rows(self.bands_table) > 0
 
-    def candidate_images(self, new_images: DataFrame) -> DataFrame:
-        """New images with ≥1 band key maybe-present in the corpus —
-        cogrouped per-partition probe, ships only (image_id, band_key)."""
+    def _probe_ids(self, bands: DataFrame) -> DataFrame:
+        """image_ids with ≥1 band key maybe-present in the corpus blooms
+        — cogrouped per-partition probe over a precomputed band frame,
+        ships only (image_id, band_key)."""
         from pyspark.sql import types as T
 
         filters = self.store.read_or_empty(self.filters_table, self._FILTERS)
-        slim = (
-            band_keys(
-                new_images.select("image_id", "phash"),
-                n_bands=self.n_bands,
-                band_bits=self.band_bits,
-            )
-            .select("image_id", "band_key")
-            .withColumn("_pid", band_pid(F.col("band_key")))
+        slim = bands.select(
+            "image_id", "band_key", F.col("pid").alias("_pid")
         )
 
         def flag(cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -277,7 +287,7 @@ class BandIndex:
                 maybe = hit if maybe is None else (maybe | hit)
             return cand_pdf.loc[maybe, ["image_id"]]
 
-        ids = (
+        return (
             slim.groupBy("_pid")
             .cogroup(
                 filters.withColumnRenamed("partition_id", "_pid").groupBy("_pid")
@@ -287,35 +297,34 @@ class BandIndex:
             )
             .dropDuplicates(["image_id"])
         )
+
+    def candidate_images(self, new_images: DataFrame) -> DataFrame:
+        """New images with ≥1 band key maybe-present in the corpus."""
+        ids = self._probe_ids(self._bands_of(new_images))
         return new_images.join(ids, on="image_id", how="left_semi")
 
-    def pairs_vs_corpus(
-        self, cand_images: DataFrame, round_no: int, max_hamming: int | None = None
+    def _verify_join(
+        self, cand_bands: DataFrame, round_no: int, max_hamming: int,
+        pids: list[int] | None,
     ) -> DataFrame:
-        """Exact verify: candidate band keys (broadcast) against the
-        stored corpus band rows. The corpus side is a columnar scan
-        pruned to the pids candidates touch (pid IN-filter hits parquet
-        row-group stats — the table is pid-sorted per append); it never
-        shuffles, and the full images table is never re-exploded."""
-        if max_hamming is None:
-            max_hamming = self.n_bands - 1
-        a = self._bands_of(cand_images).select(
-            "band_key", F.col("image_id"), F.col("phash").alias("ph_a"), "pid"
+        """Exact verify: candidate band rows (broadcast) against the
+        stored corpus band rows. The corpus side is a columnar scan —
+        optionally pruned to the pids candidates touch (IN-filter hits
+        parquet row-group stats; the table is pid-sorted per append) —
+        it never shuffles, and the images table is never re-exploded."""
+        a = cand_bands.select(
+            "band_key", F.col("image_id"), F.col("phash").alias("ph_a")
         )
-        pids = [r["pid"] for r in a.select("pid").distinct().collect()]
-        if not pids:
-            return cand_images.sparkSession.createDataFrame([], NEAR_DUP_IMAGES)
-        corpus = (
-            self.store.read_or_empty(self.bands_table, self._BANDS)
-            .filter(F.col("pid").isin(pids))
-            .select(
-                "band_key",
-                F.col("image_id").alias("dup_of"),
-                F.col("phash").alias("ph_b"),
-            )
+        corpus = self.store.read_or_empty(self.bands_table, self._BANDS)
+        if pids is not None:
+            corpus = corpus.filter(F.col("pid").isin(pids))
+        corpus = corpus.select(
+            "band_key",
+            F.col("image_id").alias("dup_of"),
+            F.col("phash").alias("ph_b"),
         )
         return (
-            corpus.join(F.broadcast(a.drop("pid")), on="band_key")
+            corpus.join(F.broadcast(a), on="band_key")
             .filter(F.col("image_id") != F.col("dup_of"))
             .select(
                 "image_id",
@@ -326,6 +335,47 @@ class BandIndex:
             .dropDuplicates(["image_id", "dup_of"])
             .withColumn("round", F.lit(round_no).cast("int"))
         )
+
+    def pairs_vs_corpus(
+        self, cand_images: DataFrame, round_no: int, max_hamming: int | None = None
+    ) -> DataFrame:
+        """Exact verify of candidate IMAGES against the corpus (band
+        explode inside; see _verify_join for the plan shape)."""
+        if max_hamming is None:
+            max_hamming = self.n_bands - 1
+        a = self._bands_of(cand_images)
+        pids = [r["pid"] for r in a.select("pid").distinct().collect()]
+        if not pids:
+            return cand_images.sparkSession.createDataFrame([], NEAR_DUP_IMAGES)
+        return self._verify_join(a, round_no, max_hamming, pids)
+
+    def pairs_vs_corpus_bands(
+        self, bands: DataFrame, round_no: int, max_hamming: int | None = None
+    ) -> DataFrame:
+        """One-call corpus lookup over a precomputed (persisted) band
+        frame — the engine's per-round path, tuned for job COUNT:
+
+        - corpus ≤ DIRECT_VERIFY_MAX_BAND_ROWS (parquet-footer count,
+          no job): skip the bloom probe AND the pid-collect entirely
+          and verify every new image against the whole (small) corpus —
+          the probe's own cogroup job + the distinct-pids job cost more
+          wall-clock than the scan they would prune. Output is
+          byte-identical: the bloom only prunes images that cannot
+          match, and the pid filter only prunes row groups.
+        - larger corpus: bloom-probe first (O(new) cogroup), then
+          verify only probed candidates with the pid IN-prune — the
+          100 TB shape, where the corpus scan is the thing to avoid.
+        """
+        if max_hamming is None:
+            max_hamming = self.n_bands - 1
+        if self.store.count_rows(self.bands_table) <= DIRECT_VERIFY_MAX_BAND_ROWS:
+            return self._verify_join(bands, round_no, max_hamming, pids=None)
+        ids = self._probe_ids(bands)
+        cand_bands = bands.join(ids, on="image_id", how="left_semi")
+        pids = [r["pid"] for r in cand_bands.select("pid").distinct().collect()]
+        if not pids:
+            return bands.sparkSession.createDataFrame([], NEAR_DUP_IMAGES)
+        return self._verify_join(cand_bands, round_no, max_hamming, pids)
 
     def compact(self, round_no: int) -> None:
         """Rebuild one right-sized blob per partition from the stored
@@ -367,12 +417,27 @@ def near_dup_pairs(
         max_hamming = n_bands - 1
     a = band_keys(
         new_images.select("image_id", "phash"), n_bands=n_bands, band_bits=band_bits
-    ).select(
-        "band_key", F.col("image_id").alias("image_id"), F.col("phash").alias("ph_a")
     )
     b = band_keys(
         corpus.select("image_id", "phash"), n_bands=n_bands, band_bits=band_bits
-    ).select(
+    )
+    return pairs_from_bands(a, b, round_no, max_hamming=max_hamming, cross=cross)
+
+
+def pairs_from_bands(
+    a_bands: DataFrame,
+    b_bands: DataFrame,
+    round_no: int,
+    max_hamming: int,
+    cross: bool = False,
+) -> DataFrame:
+    """near_dup_pairs over precomputed band frames (columns band_key,
+    image_id, phash) — callers that already materialized the explode
+    (BandIndex round path) pass it straight in."""
+    a = a_bands.select(
+        "band_key", F.col("image_id").alias("image_id"), F.col("phash").alias("ph_a")
+    )
+    b = b_bands.select(
         "band_key", F.col("image_id").alias("dup_of"), F.col("phash").alias("ph_b")
     )
     pair_filter = (

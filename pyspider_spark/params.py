@@ -51,23 +51,65 @@ def proxy_col(url_col=None, retries_col=None):
     return F.array(*[F.lit(p) for p in PROXY_POOL])[idx]
 
 
-def headers_col(ua):
-    """Request-header map (≙ the reference's RequestBody headers,
-    common/response.py:7-15): UA + static accept headers; anti-bot
-    params would be merged here by a real risk-service client."""
-    return F.create_map(
-        F.lit("User-Agent"), ua,
-        F.lit("Accept"), F.lit("text/html,application/json;q=0.9,*/*;q=0.8"),
-        F.lit("Accept-Language"), F.lit("en-US,en;q=0.5"),
+SCREEN = "1920,1040"  # reference get_anticontent default screen param
+
+
+def nano_fp_col(url_col=None, retries_col=None):
+    """Deterministic surrogate for the risk service's browser
+    fingerprint (reference ``get_nano_fp``, service/pdd_risk.py:16-24):
+    an opaque per-request token, stable per (url, retry attempt) and
+    re-rolled on retry — md5 hex of the keyed request identity."""
+    url_col = F.col("url_canon") if url_col is None else url_col
+    retries_col = F.col("retries") if retries_col is None else retries_col
+    return F.md5(
+        F.concat_ws(":", url_col, retries_col.cast("string"), F.lit("nano_fp"))
     )
 
 
+def anti_content_col(ua, nano_fp, url_col=None):
+    """Deterministic surrogate for the risk service's anti-bot token
+    (reference ``get_anticontent``, service/pdd_risk.py:26-53). The
+    reference derives it from (nano_cookie_fp, nano_storage_fp, api_uid,
+    ua, href, page, screen); this surrogate hashes the same inputs —
+    cookie and storage fp are both ``nano_fp`` exactly as the reference
+    passes them — so the token changes whenever any input would."""
+    url_col = F.col("url_canon") if url_col is None else url_col
+    return F.md5(
+        F.concat_ws("|", nano_fp, nano_fp, ua, url_col, F.lit(SCREEN))
+    )
+
+
+def headers_col(ua, nano_fp=None, anti_content=None):
+    """Request-header map (≙ the reference's RequestBody headers,
+    common/response.py:7-15): UA + static accept headers, plus the
+    anti-bot params when supplied — Anti-Content as its own header and
+    nano_fp as a cookie, the shape the reference's spiders send them."""
+    pairs = [
+        (F.lit("User-Agent"), ua),
+        (F.lit("Accept"), F.lit("text/html,application/json;q=0.9,*/*;q=0.8")),
+        (F.lit("Accept-Language"), F.lit("en-US,en;q=0.5")),
+    ]
+    if anti_content is not None:
+        pairs.append((F.lit("Anti-Content"), anti_content))
+    if nano_fp is not None:
+        pairs.append((F.lit("Cookie"), F.concat(F.lit("nano_fp="), nano_fp)))
+    return F.create_map(*[c for kv in pairs for c in kv])
+
+
 def with_request_params(popped: DataFrame) -> DataFrame:
-    """Attach ua / proxy / headers columns to a popped batch (the full
-    RequestBody surface a real fetcher consumes)."""
+    """Attach ua / proxy / nano_fp / anti_content / headers columns to a
+    popped batch (the full RequestBody surface a real fetcher consumes,
+    U4: UA+proxy rotation and the risk-service params)."""
     ua = ua_col()
     return (
         popped.withColumn("ua", ua)
         .withColumn("proxy", proxy_col())
-        .withColumn("headers", headers_col(F.col("ua")))
+        .withColumn("nano_fp", nano_fp_col())
+        .withColumn(
+            "anti_content", anti_content_col(F.col("ua"), F.col("nano_fp"))
+        )
+        .withColumn(
+            "headers",
+            headers_col(F.col("ua"), F.col("nano_fp"), F.col("anti_content")),
+        )
     )

@@ -1152,6 +1152,57 @@ REGISTRY["d_embed_neardup"].sql = f"""
     """
 
 
+# U4 anti-bot param surrogates (reference service/pdd_risk.py:16-53):
+# nano_fp / anti_content are pure md5-over-concat derivations, so the
+# DuckDB oracle replays them bit-for-bit. The UA is a literal here (the
+# engine's rotating pick rides Spark's xxhash64, which DuckDB lacks —
+# determinism of the pick itself is pinned by tests/test_request_params).
+@register(
+    "u4_anti_bot_params",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             'https://h' || CAST(o_custkey % 7 AS VARCHAR)
+               || '.example/detail/' || CAST(o_orderkey AS VARCHAR) AS url,
+             CAST(o_orderkey % 3 AS INT) AS retries
+      FROM orders
+    ), f AS (
+      SELECT o_orderkey, url,
+             md5(concat_ws(':', url, CAST(retries AS VARCHAR), 'nano_fp'))
+               AS nano_fp
+      FROM t
+    )
+    SELECT o_orderkey, nano_fp,
+           md5(concat_ws('|', nano_fp, nano_fp, 'UA-ORACLE/1.0', url,
+                         '1920,1040')) AS anti_content
+    FROM f
+    """,
+)
+def u4_anti_bot_params(spark, sf_dir):
+    from . import params as P
+
+    o = load(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("o_custkey") % 7).cast("string"),
+        F.lit(".example/detail/"),
+        F.col("o_orderkey").cast("string"),
+    )
+    t = o.select(
+        "o_orderkey",
+        url.alias("url"),
+        (F.col("o_orderkey") % 3).cast("int").alias("retries"),
+    )
+    t = t.withColumn("nano_fp", P.nano_fp_col(F.col("url"), F.col("retries")))
+    return t.select(
+        "o_orderkey",
+        "nano_fp",
+        P.anti_content_col(
+            F.lit("UA-ORACLE/1.0"), F.col("nano_fp"), F.col("url")
+        ).alias("anti_content"),
+    )
+
+
 @register("m_image_pipeline", None)
 def m_image_pipeline(spark, sf_dir):
     """Multimodal plumbing: synth binary images for 40 docs → decode →

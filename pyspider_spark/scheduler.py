@@ -61,11 +61,13 @@ def dedup_batch(ready: DataFrame) -> DataFrame:
     survivor per key per input partition crosses the shuffle) and skips
     the window's per-partition sort — the window variant does neither.
     Ties on the full key are byte-identical rows, so min_by's arbitrary
-    pick is still deterministic."""
+    pick is still deterministic. Negations go through long (the
+    ``_pop_key`` pattern): a user-supplied frontier may carry
+    priority/retries = INT_MIN, whose int negation silently wraps."""
     key = F.struct(
-        (-F.col("priority")).alias("k1"),
+        (-F.col("priority").cast("long")).alias("k1"),
         F.col("exetime").alias("k2"),
-        (-F.col("retries")).alias("k3"),
+        (-F.col("retries").cast("long")).alias("k3"),
         F.col("round_added").alias("k4"),
         F.col("stage").alias("k5"),
         F.col("url").alias("k6"),

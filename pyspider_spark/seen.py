@@ -168,6 +168,63 @@ class SeenSet:
             hits.withColumnRenamed("_u", url_col), on=url_col, how="left_anti"
         )
 
+    def mark_unseen(
+        self, candidates: DataFrame, url_col: str = "url_canon",
+        flag: str = "_member",
+    ) -> DataFrame:
+        """Like :meth:`filter_unseen`, but MARKS confirmed-member rows
+        with a boolean ``flag`` column instead of dropping them — the
+        caller can then fold the dedup counter, the robots counter and
+        the survivor count into ONE aggregation job over one marked
+        frame (the engine's vet path). Same plan shape: bloom cogroup
+        prefilter → exact semi-join on the maybe slice → one left join
+        back. Candidates should be unique per ``url_col`` (the engine's
+        are — vet batches are grouped by url_canon first)."""
+        seen = self.read()
+        if not self.use_bloom:
+            hits = seen.select(F.col("url_canon").alias(url_col)).dropDuplicates(
+                [url_col]
+            )
+        else:
+            filters = self.store.read_or_empty(self.filters_table, SEEN_FILTERS)
+            slim = candidates.select(F.col(url_col).alias("_u")).withColumn(
+                "_pid", partition_id_col(F.col("_u"), self.P)
+            )
+            n_bits = self.n_bits
+
+            def flag_fn(cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+                if len(cand_pdf) == 0:
+                    return pd.DataFrame({"_u": pd.Series([], dtype=object)})
+                blob = None
+                if len(filt_pdf) > 0:
+                    blob = bloom_merge(list(filt_pdf["filter"]), n_bits)
+                maybe = bloom_maybe_contains(cand_pdf["_u"], blob, n_bits)
+                return pd.DataFrame({"_u": cand_pdf["_u"][maybe]})
+
+            from pyspark.sql import types as T
+
+            maybe_urls = (
+                slim.groupBy("_pid")
+                .cogroup(
+                    filters.withColumnRenamed("partition_id", "_pid").groupBy("_pid")
+                )
+                .applyInPandas(
+                    flag_fn,
+                    schema=T.StructType([T.StructField("_u", T.StringType())]),
+                )
+            )
+            hits = (
+                maybe_urls.join(
+                    seen.select(F.col("url_canon").alias("_u")),
+                    on="_u", how="left_semi",
+                )
+                .withColumnRenamed("_u", url_col)
+                .dropDuplicates([url_col])
+            )
+        hits = hits.withColumn(flag, F.lit(True))
+        out = candidates.join(hits, on=url_col, how="left_outer")
+        return out.withColumn(flag, F.coalesce(F.col(flag), F.lit(False)))
+
     def add(
         self,
         urls: DataFrame,

@@ -18,17 +18,23 @@ serving replays are deterministic (north rule: no nondeterminism
 anywhere in the system).
 
 Scale note (100 TB): a point GET reads the cache table with an exact
-(name, key) equality filter — parquet min/max footer stats prune data
-files, so the scan touches O(files containing the key), not the table;
-the single collected row IS the endpoint's response, so a driver-side
-collect here is the point, not an anti-pattern. Appends are
-one-row-per-miss, compacted by TableStore snapshots like every other
-table. A real deployment fronts this table with the actual Redis from
-the reference — the ``CacheBackend`` seam below is that swap point.
+(name, kbucket, key) equality filter — ``kbucket`` is a stable hash
+bucket of the key, and compaction rewrites the table SORTED by
+(name, kbucket), so parquet min/max footer stats prune data files/row
+groups even after bulk rewrites collapse the one-file-per-put layout
+that key-equality pruning alone relies on. The single collected row IS
+the endpoint's response, so a driver-side collect here is the point,
+not an anti-pattern. Appends are one-row-per-miss; once the snapshot's
+data-dir list exceeds ``COMPACT_AFTER_DIRS`` the put path folds the
+table down to the live TTL window (newest row per key), so file-listing
+cost is bounded no matter how long the server runs. A real deployment
+fronts this table with the actual Redis from the reference — the
+``ServingCache`` seam is that swap point.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 from typing import Callable
 
@@ -41,6 +47,7 @@ from .tables import TableStore
 SERVING_CACHE = T.StructType(
     [
         T.StructField("name", T.StringType(), False),
+        T.StructField("kbucket", T.IntegerType(), False),
         T.StructField("key", T.StringType(), False),
         T.StructField("value", T.StringType(), True),
         T.StructField("cached_tick", T.LongType(), False),
@@ -48,6 +55,18 @@ SERVING_CACHE = T.StructType(
 )
 
 DEFAULT_TTL_TICKS = 7  # reference cache_cycle=7 (config/db_setup.py:21)
+
+N_KEY_BUCKETS = 64  # kbucket fan-out: enough for row-group pruning,
+# small enough that a compacted table still writes few, dense files
+
+COMPACT_AFTER_DIRS = 32  # put() folds the table once the snapshot's
+# dir list exceeds this — bounds manifest/file-listing growth to O(1)
+
+
+def _kbucket(key: str) -> int:
+    """Stable hash bucket of a cache key (md5-derived — same value on
+    any driver, never Python's salted hash())."""
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % N_KEY_BUCKETS
 
 
 class ServingCache:
@@ -62,12 +81,15 @@ class ServingCache:
 
     def get(self, name: str, key: str, tick: int) -> str | None:
         """Point lookup: newest non-expired value for (name, key), or
-        None. Equality filters push to the parquet scan (file pruning on
-        footer min/max); ``max_by`` picks the newest write."""
+        None. The name/kbucket/key equality filters push to the parquet
+        scan (file + row-group pruning on footer min/max — kbucket keeps
+        pruning effective on bulk-compacted files); ``max_by`` picks the
+        newest write."""
         df = self.store.read_or_empty(self.table, SERVING_CACHE)
         hit = (
             df.filter(
                 (F.col("name") == name)
+                & (F.col("kbucket") == _kbucket(key))
                 & (F.col("key") == key)
                 & (F.col("cached_tick") > tick - self.ttl_ticks)
             )
@@ -77,10 +99,44 @@ class ServingCache:
         return hit["value"]
 
     def put(self, name: str, key: str, value: str, tick: int) -> None:
-        row = self.store.spark.createDataFrame(
-            [(name, key, value, tick)], SERVING_CACHE
+        # one driver-held row — pyarrow write, no Spark job (the
+        # reference's hset is a sub-ms point write; a Spark job per put
+        # would make every cache miss pay ~0.5 s of scheduling)
+        self.store.append_rows(
+            self.table,
+            [{"name": name, "kbucket": _kbucket(key), "key": key,
+              "value": value, "cached_tick": tick}],
+            SERVING_CACHE,
         )
-        self.store.append(self.table, row)
+        if self.store.n_data_dirs(self.table) > COMPACT_AFTER_DIRS:
+            self.compact(tick)
+
+    def compact(self, tick: int) -> None:
+        """Fold the cache to its live TTL window: newest row per
+        (name, key) still fresh at ``tick``, rewritten as ONE overwrite
+        snapshot sorted by (name, kbucket) so footer stats keep pruning
+        point lookups. Content-equivalent for every future get (expired
+        rows can never be served; max_by already ignores older rows)."""
+        df = self.store.read_or_empty(self.table, SERVING_CACHE).filter(
+            F.col("cached_tick") > tick - self.ttl_ticks
+        )
+        live = (
+            df.groupBy("name", "kbucket", "key")
+            .agg(
+                F.max_by(
+                    F.struct("value", "cached_tick"), F.col("cached_tick")
+                ).alias("_c")
+            )
+            .select(
+                "name", "kbucket", "key",
+                F.col("_c.value").alias("value"),
+                F.col("_c.cached_tick").alias("cached_tick"),
+            )
+            .sort("name", "kbucket")
+        )
+        self.store.overwrite(
+            self.table, live.select(*[f.name for f in SERVING_CACHE.fields])
+        )
 
     def cache(self, name: str, key: str, compute: Callable[[], str],
               tick: int) -> tuple[str, bool]:

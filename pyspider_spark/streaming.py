@@ -29,6 +29,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .schemas import ITEMS, METRICS, TABLE_SCHEMAS
 
@@ -51,6 +53,90 @@ def items_per_round(spark: SparkSession, workdir: str) -> DataFrame:
     return tail_table(spark, workdir, "items").groupBy("round").agg(
         F.count("*").alias("n_items")
     )
+
+
+# ----------------------------------------------------------- seed ingest
+# S10 (Kafka source): the reference consumes seed/task messages from
+# Kafka (reference config/db_setup.py:184-196 producer; spiders push
+# tasks through it). The engine's batch rounds don't NEED a streaming
+# consumer — seeds land in the frontier table — but a deployment that
+# already queues URLs on Kafka gets an optional ingest adapter here,
+# mirroring the sink pair in sinks.py: same (key, value-JSON) framing,
+# same file-backed stand-in for broker-less tests.
+
+SEED_VALUE = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("parent", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+_FRAME = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("value", T.StringType(), False),
+    ]
+)
+
+
+def parse_seed_frames(frames: DataFrame) -> DataFrame:
+    """(key, value-JSON) frames → (url, parent, meta) seed rows — the
+    exact inverse of sinks.KafkaSink.frame, shared by the Kafka and
+    file-backed sources so the test surface covers the broker path."""
+    parsed = frames.select(
+        F.from_json(F.col("value").cast("string"), SEED_VALUE).alias("v")
+    )
+    return parsed.select("v.url", "v.parent", "v.meta").filter(
+        F.col("url").isNotNull()
+    )
+
+
+def kafka_seed_source(
+    spark: SparkSession, bootstrap_servers: str, topic: str
+) -> DataFrame:
+    """Streaming seed rows from a Kafka topic (needs the
+    spark-sql-kafka connector jar on the cluster, like sinks.KafkaSink;
+    unit-tested broker-less via :func:`file_seed_source`, which shares
+    :func:`parse_seed_frames`)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return parse_seed_frames(raw.select("key", "value"))
+
+
+def file_seed_source(spark: SparkSession, root: str) -> DataFrame:
+    """File-backed stand-in with the Kafka framing (the ingest-side
+    twin of sinks.JsonFileSink): a streaming DataFrame of seed rows
+    from JSON frame files staged under ``root``."""
+    frames = spark.readStream.schema(_FRAME).json(root)
+    return parse_seed_frames(frames)
+
+
+def drain_seeds_into_engine(seed_stream: DataFrame, engine, next_round: int) -> int:
+    """Drain everything currently staged on the stream into the
+    engine's frontier (availableNow trigger + foreachBatch →
+    ``CrawlEngine.ingest_urls``): each micro-batch is vetted exactly
+    like discovered links (canonicalize → dedup → enqueued-set →
+    robots) and appended as frontier rows due at ``next_round``.
+    Returns the number of frontier rows added. Call between rounds —
+    the next round's checkpoint pins the ingested rows."""
+    added = []
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        added.append(engine.ingest_urls(batch_df, next_round))
+
+    q = (
+        seed_stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sum(added)
 
 
 def run_once_to_memory(stream_df: DataFrame, query_name: str):

@@ -52,6 +52,18 @@ _FOOTER_COLMIN: dict[tuple[str, str], object] = {}
 _NO_STAT = object()  # memoized "this file lacks min/max stats"
 
 
+def _evict_footer_cache(dirpath: str) -> None:
+    """Drop memoized footer stats for files under a deleted data dir.
+    Without this, vacuum/prune on a long crawl leaks one cache entry per
+    dead file for the life of the driver (and would serve stale stats if
+    an external tool ever recreated the same path)."""
+    prefix = dirpath.rstrip(os.sep) + os.sep
+    for p in [k for k in _FOOTER_ROWS if k.startswith(prefix)]:
+        del _FOOTER_ROWS[p]
+    for key in [k for k in _FOOTER_COLMIN if k[0].startswith(prefix)]:
+        del _FOOTER_COLMIN[key]
+
+
 def _file_rows(p: str) -> int:
     n = _FOOTER_ROWS.get(p)
     if n is None:
@@ -175,8 +187,12 @@ class TableStore:
     # on the hottest write path. Interleaved min-of-3 A/B on the 5.4 GB
     # images frame at local[32]: dict+snappy 9.2 s, dict+none 11.0 s,
     # nodict+lz4 2.9 s — so binary-payload tables write lz4 with
-    # dictionary encoding disabled. Everything else keeps the default
-    # codec (text bodies/URLs compress well and benefit from dict).
+    # dictionary encoding disabled. lz4_raw specifically: Spark's plain
+    # "lz4" is the Hadoop-framed parquet LZ4 that older pyarrow/duckdb
+    # and several external readers cannot decode; LZ4_RAW (parquet-mr
+    # 1.13+/Spark 3.5+) is the interoperable framing at the same cost.
+    # Everything else keeps the default codec (text bodies/URLs
+    # compress well and benefit from dict).
     BINARY_PAYLOAD_TABLES = frozenset({"images"})
 
     def _write_datadir(self, name: str, df: DataFrame) -> str:
@@ -184,7 +200,7 @@ class TableStore:
         writer = df.write.mode("errorifexists")
         if name in self.BINARY_PAYLOAD_TABLES:
             writer = (
-                writer.option("compression", "lz4")
+                writer.option("compression", "lz4_raw")
                 .option("parquet.enable.dictionary", "false")
             )
         writer.parquet(d)
@@ -196,9 +212,32 @@ class TableStore:
 
     def append(self, name: str, df: DataFrame) -> int:
         """New snapshot = previous dirs + one new dir (metadata-only append)."""
+        d = self._write_datadir(name, df)
+        return self._commit_append(name, d)
+
+    def append_rows(self, name: str, rows: list[dict], schema) -> int:
+        """Append a handful of DRIVER-HELD rows (the per-round metrics
+        row, a serving-cache put) without a Spark job: the parquet file
+        is written with pyarrow and committed through the same manifest
+        append. A full Spark write job for one row is ~0.3-0.5 s of
+        pure scheduling overhead on the crawl's fixed per-round cost —
+        at 10^10-URL scale that fixed cost is exactly what bounds round
+        frequency. Readers can't tell the difference (same schema, same
+        dir layout, same snapshot semantics)."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        cols = {f.name: [r.get(f.name) for r in rows] for f in schema.fields}
+        table = pa.Table.from_pydict(cols, schema=arrow_schema)
+        d = os.path.join(self.root, name, f"data-{uuid.uuid4().hex}")
+        os.makedirs(d)
+        pq.write_table(table, os.path.join(d, "part-00000.parquet"))
+        return self._commit_append(name, d)
+
+    def _commit_append(self, name: str, d: str) -> int:
         m = self._load_manifest(name)
         prev = self._snapshot(m, None)
-        d = self._write_datadir(name, df)
         sid = self._next_sid(m)
         dirs = (prev["dirs"] if prev else []) + [d]
         m["snapshots"].append({"id": sid, "op": "append", "dirs": dirs})
@@ -220,6 +259,25 @@ class TableStore:
         self._commit_manifest(name, m)
         return sid
 
+    def overwrite_rows(self, name: str, rows: list[dict], schema) -> int:
+        """Overwrite with DRIVER-HELD rows (bootstrap config/robots
+        dims) — pyarrow write, no Spark job (see append_rows)."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        cols = {f.name: [r.get(f.name) for r in rows] for f in schema.fields}
+        table = pa.Table.from_pydict(cols, schema=arrow_schema)
+        d = os.path.join(self.root, name, f"data-{uuid.uuid4().hex}")
+        os.makedirs(d)
+        pq.write_table(table, os.path.join(d, "part-00000.parquet"))
+        m = self._load_manifest(name)
+        sid = self._next_sid(m)
+        m["snapshots"].append({"id": sid, "op": "overwrite", "dirs": [d]})
+        m["current"] = sid
+        self._commit_manifest(name, m)
+        return sid
+
     def merge_insert_if_absent(self, name: str, df: DataFrame, key: str, schema) -> int:
         """Iceberg ``MERGE ... WHEN NOT MATCHED INSERT`` (Redis SADD analogue,
         reference spiders/amazon/crawl_cate_link.py:56). Append-only: the
@@ -228,6 +286,13 @@ class TableStore:
         existing = self.read_or_empty(name, schema)
         fresh = df.dropDuplicates([key]).join(existing.select(key), on=key, how="left_anti")
         return self.append(name, fresh)
+
+    def n_data_dirs(self, name: str) -> int:
+        """Data dirs in the current snapshot — the table's file-listing
+        cost; compaction policies bound it (manifest-only read)."""
+        m = self._load_manifest(name)
+        snap = self._snapshot(m, None)
+        return len(snap["dirs"]) if snap else 0
 
     def count_rows(self, name: str) -> int:
         """Row count of the current snapshot from parquet footers only —
@@ -320,6 +385,7 @@ class TableStore:
                 full = os.path.join(tdir, d)
                 if full not in keep:
                     shutil.rmtree(full, ignore_errors=True)
+                    _evict_footer_cache(full)
         m["snapshots"] = keep_snaps
         self._commit_manifest(name, m)
 
@@ -334,5 +400,6 @@ class TableStore:
                 full = os.path.join(tdir, d)
                 if full not in keep:
                     shutil.rmtree(full, ignore_errors=True)
+                    _evict_footer_cache(full)
         m["snapshots"] = [s for s in m["snapshots"] if s["id"] == m["current"]]
         self._commit_manifest(name, m)

@@ -77,6 +77,32 @@ def build_frontier(spark, n_rows: int, n_hosts: int):
     )
 
 
+def physical_core_cpus() -> list[int]:
+    """One CPU id per PHYSICAL core, from sysfs topology. On SMT boxes
+    with interleaved sibling enumeration (ids 0/1 siblings on one
+    core), pinning to range(N) would get only N/2 physical cores and
+    skew the N-vs-4N efficiency this pinning exists to protect; picking
+    the first id of each thread_siblings_list avoids that. Falls back
+    to sequential ids when sysfs is unavailable."""
+    base = "/sys/devices/system/cpu"
+    picks, seen_cores = [], set()
+    try:
+        cpus = sorted(
+            int(d[3:]) for d in os.listdir(base)
+            if d.startswith("cpu") and d[3:].isdigit()
+        )
+        for c in cpus:
+            p = f"{base}/cpu{c}/topology/thread_siblings_list"
+            with open(p) as f:
+                key = f.read().strip()
+            if key not in seen_cores:
+                seen_cores.add(key)
+                picks.append(c)
+    except OSError:
+        return list(range(os.cpu_count() or 1))
+    return picks or list(range(os.cpu_count() or 1))
+
+
 def run_one(cores: int, pin: bool = True) -> dict:
     from pyspider_spark.loop import CrawlEngine
     from pyspider_spark.schemas import FRONTIER
@@ -84,18 +110,22 @@ def run_one(cores: int, pin: bool = True) -> dict:
     from pyspider_spark.synth import GraphSpec
 
     # Pin the WHOLE process tree (this driver, the JVM it forks, every
-    # Python worker) to `cores` hardware cores BEFORE the JVM starts.
+    # Python worker) to `cores` PHYSICAL cores BEFORE the JVM starts
+    # (one CPU id per core via sysfs topology — see physical_core_cpus).
     # local[N] caps only task slots — JVM-internal threads (parquet
     # writers, GC, Arrow readers) and the OS scheduler otherwise spread
     # onto all physical cores, so an unpinned local[8] borrows CPU an
     # 8-core executor would not have and corrupts the N-vs-4N study.
     # (Measured: pinning local[8] is also slightly FASTER here — cache
     # affinity — so this is honesty, not a handicap.)
+    pinned_cpus: list[int] = []
     if pin:
         try:
-            os.sched_setaffinity(0, set(range(cores)))
+            phys = physical_core_cpus()
+            pinned_cpus = phys[:cores]
+            os.sched_setaffinity(0, set(pinned_cpus))
         except (AttributeError, OSError):
-            pass  # non-Linux or already restricted
+            pinned_cpus = []  # non-Linux or already restricted
 
     spark = get_spark(
         f"scaling{cores}", cores=cores, shuffle_partitions=cores * 2
@@ -117,6 +147,7 @@ def run_one(cores: int, pin: bool = True) -> dict:
             "phase_seconds": {k: round(v, 2) for k, v in eng.phase_times.items()},
             "cores": cores,
             "pinned": pin,
+            "pinned_cpus": pinned_cpus,
             "frontier_rows": FRONTIER_ROWS,
             "urls_scheduled_fetched": stats.popped,
             "images_landed": stats.images_landed,

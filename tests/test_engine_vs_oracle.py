@@ -17,12 +17,15 @@ ROUNDS = 6
 SPEC = GraphSpec(n_hosts=3, chains_per_host=2)
 
 
-@pytest.fixture(scope="module")
-def engine_run(spark, tmp_path_factory):
-    wd = str(tmp_path_factory.mktemp("crawl"))
+@pytest.fixture(scope="module", params=[False, True], ids=["regex", "htmlparse"])
+def engine_run(spark, tmp_path_factory, request):
+    """The full oracle replay runs under BOTH parse engines (P5): the
+    default regex extractors and the real HTML-parser stage
+    (html_parser=True) must be byte-identical end-to-end."""
+    wd = str(tmp_path_factory.mktemp(f"crawl_{request.param}"))
     eng = CrawlEngine(
         spark, wd, SPEC, n_seen_partitions=8, use_bloom=True,
-        collect_pop_sequence=True,
+        collect_pop_sequence=True, html_parser=request.param,
     )
     stats = eng.run(max_rounds=ROUNDS)
     return eng, stats

@@ -98,6 +98,69 @@ def test_never_raises_on_garbage():
     assert all(isinstance(v, list) for v in out)
 
 
+def test_script_style_raw_text_not_harvested():
+    """script/style content is CDATA (reference BeautifulSoup behavior,
+    common/response.py:48-53): markup-looking strings inside it must not
+    become links or nodes."""
+    body = (
+        "<body><script>var s = '<a href=\"/fake/1\">x</a>';\n"
+        "if (a < b && c > d) { /* <img src=/fake/2> */ }</script>"
+        "<style>a::before { content: '<a href=/fake/3>'; }</style>"
+        "<a href='/real/1'>ok</a></body>"
+    )
+    (links,) = H.links_batch(pd.Series([body]))
+    assert links == ["/real/1"]
+
+
+def test_nesting_and_entity_bombs_no_crash():
+    """Hostile depth/entity stress: a 5000-deep tag nest (recursion-free
+    tree walk), unterminated entities, and a 50k-entity run all parse
+    without raising, and field extraction still defaults to ''."""
+    deep = "<div>" * 5000 + "x" + "</div>" * 5000
+    entities = "&amp;" * 50_000 + "&bogus;&#x27;&#999999999;&#xZZ;&"
+    assert H.parse_html(deep).text() == "x"  # survives + preserves text
+    for body in (deep, entities, deep + entities):
+        root = H.parse_html(body)
+        assert root.tag == "[document]"
+        out = H.fields_batch(
+            pd.Series([body]), [("price", "span", {"class": "a-offscreen"}, "text")]
+        )
+        assert out["price"].tolist() == [""]
+
+
+def test_fuzz_malformed_pages_never_raise():
+    """1k deterministic malformed samples (tag soup, truncated tags,
+    stray brackets, comments/CDATA/PIs, mixed-encoding bytes, null
+    bytes, unclosed tables): parse_html never raises, links_batch
+    yields lists, fields_batch degrades to '' defaults (the reference's
+    per-field try/except tolerance, crawl_goods_list.py:57-91)."""
+    import random
+
+    rng = random.Random(0)  # deterministic corpus, not run-to-run noise
+    fragments = [
+        "<a href='/x/", "<a href=/y>link", "</div>", "<table><tr><td>",
+        "<script>if(a<b){", "</script>", "<!-- comment <a href=/c> ",
+        "-->", "<![CDATA[ <a href=/d> ]]>", "<?php echo '<a>'; ?>",
+        "<div class=", "'>", "\x00", "\xff\xfe", "&#", "&amp", ";",
+        "<img src=", "<a ", "href", "=", "'", '"', "<", ">", "text ",
+        "<p>para", "<li>item", "<b><i>bold", "</b>", "<svg><g>",
+        "<input value='<a href=/e>'>", "<br/>", "<a href='/ok/1'>k</a>",
+    ]
+    spec = [
+        ("name", "span", {"class": "t"}, "text"),
+        ("img", "img", None, "@src"),
+    ]
+    for i in range(1000):
+        body = "".join(rng.choice(fragments) for _ in range(rng.randint(1, 60)))
+        root = H.parse_html(body)
+        assert root.tag == "[document]"
+        (links,) = H.links_batch(pd.Series([body]))
+        assert isinstance(links, list)
+        out = H.fields_batch(pd.Series([body]), spec)
+        assert set(out.columns) == {"name", "img"}
+        assert all(isinstance(v, str) for v in out.iloc[0])
+
+
 # ---------------------------------------------------- engine equivalence
 
 SPEC = GraphSpec(n_hosts=2, chains_per_host=2, seed_tag="html1")

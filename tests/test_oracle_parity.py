@@ -66,9 +66,11 @@ def test_ngram_lsh_vs_exact_properties(spark):
 
 def test_minhash_wide_geometry(spark):
     """Scale geometry (32 hashes x 8 bands, r=4): high-jaccard pairs
-    are still found, the candidate band volume prunes harder than the
-    default r=2 curve, and verified output is a subset of the default's
-    (the verify stage is geometry-independent exact Jaccard)."""
+    are still found, and the two geometries agree exactly on every pair
+    both surface (the verify stage is geometry-independent exact
+    Jaccard). No subset relation between the candidate sets is asserted:
+    each geometry hashes its own minhash family, so a moderate-jaccard
+    pair can collide in one family's bands and not the other's."""
     from pyspider_spark.data import dedup as D
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -79,9 +81,9 @@ def test_minhash_wide_geometry(spark):
                 docs, 4000, n_minhash=32, n_bands=8).collect()}
     high = {k for k, v in base.items() if v >= 9000}
     assert high and high <= set(wide), "wide geometry lost a near-exact pair"
-    assert set(wide) <= set(base), "verify stage admitted a non-candidate pair"
     for k, v in wide.items():
-        assert v == base[k], "exact-Jaccard verify must not depend on geometry"
+        if k in base:
+            assert v == base[k], "exact-Jaccard verify must not depend on geometry"
     assert D.choose_minhash_geometry(10**4) == (8, 4)
     assert D.choose_minhash_geometry(10**8) == (32, 8)
-    assert D.choose_minhash_geometry(10**10) == (64, 8)
+    assert D.choose_minhash_geometry(10**10) == (128, 16)

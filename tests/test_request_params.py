@@ -43,6 +43,50 @@ def test_headers_carry_ua(spark):
     assert "Accept" in r.headers
 
 
+def test_anti_bot_params_deterministic_and_rerolled(spark):
+    """U4 risk-service surrogate (reference service/pdd_risk.py:16-53):
+    nano_fp / anti_content are stable per (url, retry), re-rolled on
+    retry, distinct across URLs, and ride in the headers map the way
+    the reference's spiders send them."""
+    rows = [(f"https://h{i}/u{i}", r) for i in range(20) for r in (0, 1)]
+    a = params.with_request_params(_reqs(spark, rows)).collect()
+    b = params.with_request_params(_reqs(spark, rows)).collect()
+    assert [(r.nano_fp, r.anti_content) for r in a] == [
+        (r.nano_fp, r.anti_content) for r in b
+    ], "anti-bot params must be deterministic per (url, retry)"
+    byline = {(r.url_canon, r.retries): (r.nano_fp, r.anti_content) for r in a}
+    # every retry re-rolls both tokens (hash of a changed key)
+    for i in range(20):
+        u = f"https://h{i}/u{i}"
+        assert byline[(u, 0)] != byline[(u, 1)]
+    # tokens are per-request, not constant
+    assert len({v[0] for v in byline.values()}) == len(byline)
+    assert len({v[1] for v in byline.values()}) == len(byline)
+    # headers carry them: Anti-Content header + nano_fp cookie
+    for r in a:
+        assert r.headers["Anti-Content"] == r.anti_content
+        assert r.headers["Cookie"] == f"nano_fp={r.nano_fp}"
+
+
+def test_anti_content_depends_on_ua_and_fp(spark):
+    """anti_content hashes the same inputs the reference's risk call
+    sends (ua, cookie fp, storage fp, href, screen) — changing the UA
+    or the fp must change the token."""
+    from pyspark.sql import functions as F
+
+    df = _reqs(spark, [("https://h/x", 0)])
+    base = df.select(
+        params.anti_content_col(F.lit("ua-one"), F.lit("fp-one")).alias("t")
+    ).collect()[0].t
+    other_ua = df.select(
+        params.anti_content_col(F.lit("ua-two"), F.lit("fp-one")).alias("t")
+    ).collect()[0].t
+    other_fp = df.select(
+        params.anti_content_col(F.lit("ua-one"), F.lit("fp-two")).alias("t")
+    ).collect()[0].t
+    assert base != other_ua and base != other_fp
+
+
 def test_meta_carries_page_counters_e2e(spark, tmp_path_factory):
     """After a crawl, every api-stage frontier row discovered via
     pagination carries its (cat, page) context in meta, matching the

@@ -107,6 +107,30 @@ def test_dedup_batch_keeps_best(spark):
     assert out[0].url == "c"  # priority 9 beats 5; exetime 2 beats 5
 
 
+def test_dedup_batch_int_min_priority(spark):
+    """A user-supplied frontier row with priority/retries = INT_MIN must
+    not corrupt the dedup order: the min_by key negates through long
+    (the _pop_key pattern), so -INT_MIN cannot wrap negative."""
+    from pyspider_spark.schemas import FRONTIER
+
+    INT_MIN = -(2**31)
+    mk = lambda url, prio, retries: {
+        "url": url, "url_canon": "https://h/u", "host": "h", "priority": prio,
+        "exetime": 0, "retries": retries, "max_retries": 3, "stage": "list",
+        "meta": None, "round_added": 0, "lineage": None, "salt": 0, "vetted": False,
+    }
+    # INT_MIN priority must LOSE to priority 1 (an int negation would
+    # wrap -INT_MIN to INT_MIN, making it sort as the best key)
+    df = spark.createDataFrame([mk("worst", INT_MIN, 0), mk("best", 1, 0)], FRONTIER)
+    out = scheduler.dedup_batch(df).collect()
+    assert len(out) == 1 and out[0].url == "best"
+    # same hazard on the retries tiebreak: INT_MIN retries must lose
+    # to an in-flight retry (retries desc order)
+    df2 = spark.createDataFrame([mk("fresh", 5, INT_MIN), mk("retry", 5, 1)], FRONTIER)
+    out2 = scheduler.dedup_batch(df2).collect()
+    assert len(out2) == 1 and out2[0].url == "retry"
+
+
 def test_split_fetch_outcomes(spark):
     from pyspider_spark.schemas import FETCH_RESULTS
 

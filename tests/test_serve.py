@@ -45,6 +45,42 @@ def test_cache_ttl_expiry_and_last_write_wins(store):
     assert c.get("t", "k", tick=6) is None  # both expired
 
 
+def test_serving_cache_compaction_bounded(store, monkeypatch):
+    """The put path folds the table once the snapshot's dir list passes
+    COMPACT_AFTER_DIRS (VERDICT r2 #4/#10): dir count stays bounded over
+    many puts, point lookups survive the bulk rewrite (kbucket-sorted),
+    and expired rows are physically dropped."""
+    from pyspider_spark import serve as serve_mod
+    from pyspider_spark.serve import SERVING_CACHE
+
+    monkeypatch.setattr(serve_mod, "COMPACT_AFTER_DIRS", 5)
+    c = ServingCache(store, ttl_ticks=10)
+    for i in range(30):
+        c.put("t", f"k{i}", f"v{i}", tick=i)
+        assert store.n_data_dirs(c.table) <= 6  # bound + the triggering put
+    # point lookups after bulk compaction: fresh keys hit, stale miss
+    assert c.get("t", "k29", tick=29) == "v29"
+    assert c.get("t", "k25", tick=29) == "v25"
+    assert c.get("t", "k0", tick=29) is None  # tick 0 expired at 29
+    assert c.get("t", "nope", tick=29) is None
+    # expired rows physically dropped: with compactions every ~5 puts
+    # (ttl 10), nothing older than ~tick 15 can survive the last fold
+    rows = store.read_or_empty(c.table, SERVING_CACHE).collect()
+    assert rows and min(r.cached_tick for r in rows) > 10
+
+
+def test_serving_cache_compaction_last_write_wins(store):
+    """compact() keeps the newest value per key and stays equivalent
+    for every future get."""
+    c = ServingCache(store, ttl_ticks=10)
+    c.put("t", "k", "old", tick=0)
+    c.put("t", "k", "new", tick=3)
+    c.compact(tick=4)
+    assert store.n_data_dirs(c.table) == 1
+    assert c.get("t", "k", tick=4) == "new"
+    assert c.get("t", "k", tick=14) is None  # TTL still enforced
+
+
 def test_keyword_search_paging_deterministic(store, spark):
     items = store.read("items")
     p1 = [r["asin_id"] for r in keyword_search(items, "widget-1", 1, 5).collect()]

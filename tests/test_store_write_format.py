@@ -51,8 +51,27 @@ def test_images_write_lz4_no_dictionary(spark):
     for cm in metas:
         assert "PLAIN_DICTIONARY" not in cm.encodings
         assert "RLE_DICTIONARY" not in cm.encodings
-        assert cm.compression in ("LZ4", "LZ4_RAW", "UNKNOWN")
-        assert cm.compression != "SNAPPY"
+        # LZ4_RAW, not Hadoop-framed LZ4: the framed variant is
+        # undecodable by older pyarrow/duckdb and external readers.
+        # pyarrow 16.1 labels the LZ4_RAW codec "LZ4" and the
+        # deprecated framed codec "UNKNOWN" — so "UNKNOWN" here means
+        # the non-portable codec leaked back in.
+        assert cm.compression in ("LZ4", "LZ4_RAW")
+        assert cm.compression not in ("SNAPPY", "UNKNOWN")
+    # portability contract: a non-Spark reader decodes the payload
+    import duckdb
+    import os
+
+    files = [
+        os.path.join(d, f)
+        for d in _dirs(store, "images")
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    ]
+    n = duckdb.sql(
+        f"select count(*) from read_parquet({files!r})"
+    ).fetchall()[0][0]
+    assert n == 64
 
 
 def test_text_tables_keep_dictionary(spark):
