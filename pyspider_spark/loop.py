@@ -144,6 +144,8 @@ class CrawlEngine:
         neardup_geometry: tuple[int, int] | None = None,
         html_parser: bool = False,
         batch_sales: bool = True,
+        transport: str = "sim",
+        http_opts: dict | None = None,
     ):
         self.spark = spark
         self.spec = spec
@@ -178,6 +180,11 @@ class CrawlEngine:
         # discovered skus into one sales request per chunk_size ids
         # (reference jingxi_category_sales.py:112-118).
         self.batch_sales = batch_sales
+        # S4 transport: "sim" (deterministic oracle) or "http" (real
+        # network — thread-pooled urllib per Arrow batch, fetch.py;
+        # http_opts: timeout_s / pool_size / base_override).
+        self.transport = transport
+        self.http_opts = http_opts
         self.last_frontier_rows = 0
         self._round_persists: list[DataFrame] = []
         self._ledger_path = os.path.join(workdir, "_manifests", "rounds.json")
@@ -522,7 +529,10 @@ class CrawlEngine:
         from .schemas import FETCH_CACHE, FETCH_RESULTS
 
         if self.fetch_cache_ttl_rounds is None:
-            return run_fetch(popped, self.spec)
+            return run_fetch(
+                popped, self.spec, transport=self.transport,
+                http_opts=self.http_opts,
+            )
         store = self.store
         fresh = store.read_or_empty("fetch_cache", FETCH_CACHE).filter(
             F.col("cached_round") >= r - self.fetch_cache_ttl_rounds
@@ -542,7 +552,9 @@ class CrawlEngine:
             F.col("_c.image_refs").alias("image_refs"),
         ).select(*result_cols)
         misses = joined.filter(F.col("_c").isNull()).drop("_c")
-        fetched = run_fetch(misses, self.spec).persist(CACHE)
+        fetched = run_fetch(
+            misses, self.spec, transport=self.transport, http_opts=self.http_opts
+        ).persist(CACHE)
         self._round_persists.append(fetched)
         # cache only successful, non-captcha responses: a memoized
         # failure would otherwise be served to the retry pop within the
