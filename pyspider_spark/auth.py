@@ -15,8 +15,8 @@ Differences from the reference, on purpose:
 - **Logical-tick expiry, not wall clock.** The engine is deterministic
   end-to-end (north rule: resume must replay byte-identically), so
   expiry is compared against a caller-supplied ``tick`` exactly like
-  the serving cache's TTL (serve.py). A web deployment passes
-  ``int(time.time())``; tests pass logical ticks.
+  the serving cache's TTL (serve.py). A web deployment passes the
+  current epoch seconds; tests pass logical ticks.
 - **Explicit salt.** bcrypt embeds a random salt; random is banned
   here, so ``hash_password`` takes the salt (callers derive it
   deterministically, e.g. from the username) and ``verify_password``
