@@ -42,6 +42,7 @@ HEADLINE = [
     "d_simhash_sig",
     "s_dot_topk",
     "s_ann_lsh",
+    "s_ann_ivf",
     "m_image_pipeline",
 ]
 

@@ -264,6 +264,109 @@ def ann_lsh_topk(
     )
 
 
+# ---- IVF (inverted-file) ANN — the clustered-corpus scale path ----
+#
+# LSH is data-oblivious; when the corpus is clustered (real embedding
+# corpora are), an inverted file over a codebook of C ≈ √N centroids
+# searches only the nprobe nearest cells per query. Everything here is
+# exact integer math over the quantized vectors so the whole pipeline
+# is bit-portable to the DuckDB oracle (queries.py `s_ann_ivf`):
+#
+# - codebook: deterministic stride sample of the corpus itself
+#   (vec_id % stride == 0) — no k-means RNG, resumable byte-identically.
+#   At 10^9 vectors pick stride ≈ √N → a ~√N-row codebook (~16 MB at
+#   32k x 64 int64), collected once and closed over by the Arrow UDF —
+#   the standard IVF codebook broadcast, O(√N) driver memory.
+# - assignment: one (batch x dim) @ (dim x C) int64 matmul per Arrow
+#   batch, argmin of exact L2² with ties broken by ascending centroid
+#   id — a single pass over the corpus, no shuffle of the vectors; a
+#   production deployment persists `cell` as an index column and pays
+#   this once per ingest, not per query.
+# - probe: queries explode to nprobe slim (qid, cell) rows, broadcast
+#   against the cell index; rerank touches candidates only (exact
+#   quantized cosine, same as the LSH path).
+
+IVF_STRIDE = 25  # codebook = every 25th vec_id (≈√N cells on the fixtures)
+IVF_NPROBE = 4
+
+
+def ivf_probe_udf(cent_ids: np.ndarray, cent_mat: np.ndarray, nprobe: int):
+    """pandas UDF: embedding → the ``nprobe`` nearest centroid ids by
+    exact integer L2² over the quantized vectors, ties by centroid id
+    ascending (``cent_ids`` must be sorted ascending; stable argsort
+    over columns in id order then yields the (l2, cent_id) total
+    order — bit-identical to the oracle's row_number window)."""
+    c = np.ascontiguousarray(cent_mat, dtype=np.int64)  # (C, dim)
+    c_n2 = (c * c).sum(axis=1)  # (C,)
+    ids = np.asarray(cent_ids, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def probe(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(e, dtype=np.float32) for e in embs])
+        qv = np.floor(mat * np.float32(QUANT)).astype(np.int64)
+        # exact int64 L2²: |q|² − 2q·c + |c|² (|values| ≤ dim·1e6 ≪ 2^63)
+        d = (qv * qv).sum(axis=1, keepdims=True) - 2 * (qv @ c.T) + c_n2[None, :]
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([ids[row].tolist() for row in idx])
+
+    return probe
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    stride: int = IVF_STRIDE,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF top-k: stride-sampled codebook → exact-L2 cell assignment →
+    nprobe probe → exact quantized-cosine rerank. Same output contract
+    as ann_lsh_topk: (qid, rank, vid, cos_bp)."""
+    cent_rows = (
+        emb.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id", F.expr(_quantize("embedding")).alias("cv"))
+        .orderBy("vec_id")
+        .collect()  # O(√N) codebook rows — see module comment
+    )
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
+    probe = ivf_probe_udf(cent_ids, cent_mat, nprobe)
+    cells = emb.select("vec_id", probe(F.col("embedding")).alias("_cells"))
+    base = cells.select(
+        F.col("vec_id").alias("vid"), F.element_at("_cells", 1).alias("cell")
+    )
+    qp = cells.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.explode("_cells").alias("cell")
+    )
+    cand = (
+        base.join(F.broadcast(qp), on="cell")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "vid")
+        .distinct()
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vid"), F.expr(_quantize("embedding")).alias("av")
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.expr(_quantize("embedding")).alias("qv")
+    )
+    exact = (
+        cand.join(a, on="vid")
+        .join(F.broadcast(q), on="qid")
+        .select(
+            "qid", "vid", F.expr(quantized_cos_bp_expr("qv", "av")).alias("cos_bp")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_bp"), F.asc("vid"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vid", "cos_bp")
+    )
+
+
 def quantized_cos_bp_expr(qa_sql: str, qb_sql: str) -> str:
     """Basis-point cosine over QUANTIZED (bigint) vectors: the dot and
     squared norms are exact integer sums (order-independent), converted

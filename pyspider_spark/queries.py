@@ -1099,6 +1099,68 @@ REGISTRY["s_ann_lsh"].sql = f"""
     """
 
 
+@register("s_ann_ivf", None)  # sql assigned below (needs _l2_duck)
+def s_ann_ivf(spark, sf_dir):
+    """IVF ANN (clustered-corpus scale path): stride-sampled integer
+    codebook, exact-L2² cell assignment via one Arrow int matmul,
+    nprobe probe, quantized-cosine rerank — every stage integer-exact,
+    so the full inverted-file pipeline is oracle-gated (recall gate in
+    tests/test_ann_recall.py)."""
+    return S.ann_ivf_topk(load(spark, sf_dir, "embeddings"), n_queries=20, k=5)
+
+
+def _l2_duck(qa: str, qb: str) -> str:
+    """DuckDB mirror of the IVF assignment metric: exact integer L2²
+    over quantized vectors (order-independent sum)."""
+    return (
+        f"list_aggregate(list_transform(range(1, len({qa}) + 1), "
+        f"i -> ({qa}[i] - {qb}[i]) * ({qa}[i] - {qb}[i])), 'sum')"
+    )
+
+
+REGISTRY["s_ann_ivf"].sql = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(x * {S.QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cent_id, qv AS cv FROM v WHERE vec_id % {S.IVF_STRIDE} = 0
+    ),
+    d AS (
+      SELECT v.vec_id, c.cent_id, {_l2_duck('v.qv', 'c.cv')} AS l2
+      FROM v CROSS JOIN c
+    ),
+    rnk AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY l2 ASC, cent_id ASC) AS rn
+      FROM d
+    ),
+    cell AS (SELECT vec_id AS vid, cent_id AS cell FROM rnk WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS qid, cent_id AS cell FROM rnk
+      WHERE rn <= {S.IVF_NPROBE} AND vec_id < 20
+    ),
+    cand AS (
+      SELECT DISTINCT p.qid, b.vid
+      FROM probe p JOIN cell b ON b.cell = p.cell
+      WHERE b.vid <> p.qid
+    ),
+    p2 AS (
+      SELECT c.qid, c.vid, {_cosbp_duck('qa.qv', 'va.qv')} AS cos_bp
+      FROM cand c
+      JOIN v qa ON qa.vec_id = c.qid
+      JOIN v va ON va.vec_id = c.vid
+    ),
+    r AS (
+      SELECT qid, vid, cos_bp,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_bp DESC, vid ASC) AS rank
+      FROM p2
+    )
+    SELECT qid, CAST(rank AS INT) AS rank, vid, cos_bp FROM r WHERE rank <= 5
+    """
+
+
 @register("d_embed_neardup", None)
 def d_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup over a fixture with PLANTED near-dups:

@@ -67,6 +67,22 @@ def test_vectorized_sigs_match_sql_fold(spark, emb):
     assert vec_sigs.exceptAll(sql_sigs).count() == 0
 
 
+def test_ivf_recall_and_monotone_nprobe(spark, emb):
+    """The IVF path must find real neighbors, and probing more cells
+    can only add candidates (same argument as the LSH OR construction:
+    nprobe n's probe list is a prefix of nprobe n+1's)."""
+    exact = _topk_sets(S.cosine_topk(emb, n_queries=N_Q, k=K))
+
+    def recall(a):
+        hits = sum(len(exact[q] & a.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r1 = recall(_topk_sets(S.ann_ivf_topk(emb, n_queries=N_Q, k=K, nprobe=1)))
+    r4 = recall(_topk_sets(S.ann_ivf_topk(emb, n_queries=N_Q, k=K, nprobe=4)))
+    assert r4 >= r1
+    assert r4 >= 0.2, f"IVF recall {r4:.2f} vs bruteforce too low"
+
+
 def test_ann_recall_monotone_in_tables(spark, emb):
     one = _topk_sets(S.ann_lsh_topk(emb, n_queries=N_Q, k=K, n_tables=1))
     four = _topk_sets(S.ann_lsh_topk(emb, n_queries=N_Q, k=K, n_tables=4))
