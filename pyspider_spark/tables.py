@@ -41,6 +41,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
 
+# The deployment swap table, CI-checked by tests/test_iceberg_contract.py:
+# every public TableStore method maps onto a concrete Iceberg operation,
+# so pointing the engine at a real Iceberg catalog replaces this module
+# method-for-method (the test fails if a method is added without
+# declaring its Iceberg equivalent, and the semantic tests pin the
+# behaviors — snapshot isolation, additive appends, atomic commit,
+# rollback, expiry — that the swap relies on).
+ICEBERG_EQUIVALENTS = {
+    "add_mirror": "out-of-band sink fan-out (engine-level; no Iceberg call needed)",
+    "exists": "catalog.tableExists(name)",
+    "current_snapshot_id": "table.currentSnapshot().snapshotId()",
+    "read": "spark.read.option('snapshot-id', sid).table(name)  # time travel",
+    "read_or_empty": "spark.read.table(name) after CREATE TABLE IF NOT EXISTS",
+    "append": "df.writeTo(name).append()",
+    "append_rows": "spark.createDataFrame(rows, schema).writeTo(name).append()",
+    "overwrite": "df.writeTo(name).overwritePartitions()  # INSERT OVERWRITE",
+    "overwrite_rows": "spark.createDataFrame(rows, schema).writeTo(name).overwritePartitions()",
+    "merge_insert_if_absent": "MERGE INTO name t USING batch s ON t.key = s.key WHEN NOT MATCHED THEN INSERT *",
+    "n_data_dirs": "SELECT count(*) FROM name.files  # metadata table",
+    "count_rows": "currentSnapshot().summary()['total-records']  # manifest stats",
+    "file_rows": "SELECT file_path, record_count FROM name.files",
+    "read_last_append": "spark.read.option('start-snapshot-id', prev).table(name)  # incremental read",
+    "last_append_file_rows": "name.files joined to the last snapshot's manifest",
+    "min_column_stat": "name.files lower_bounds[col]  # manifest column stats",
+    "last_append_rows": "currentSnapshot().summary()['added-records']",
+    "rollback": "CALL catalog.system.rollback_to_snapshot(name, sid)",
+    "prune_abandoned": "CALL catalog.system.remove_orphan_files(table => name)",
+    "vacuum": "CALL catalog.system.expire_snapshots(table => name) + remove_orphan_files",
+}
+
 
 # Data files are immutable once a snapshot lists them (uuid-named dirs,
 # append-only store), so footer metadata is memoized per path — the

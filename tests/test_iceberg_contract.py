@@ -1,0 +1,144 @@
+"""The TableStore → Iceberg swap contract (VERDICT r2 'What's missing' #3).
+
+The north rule targets Iceberg tables; this container has no Iceberg
+jars, so tables.py implements the same semantics on parquet + JSON
+manifests. These tests make the claimed 1:1 mapping CI-checked instead
+of asserted in prose:
+
+1. **Surface completeness** — every public TableStore method declares
+   its Iceberg equivalent in ``ICEBERG_EQUIVALENTS`` (adding a method
+   without a mapping breaks the build), and vice versa (no stale
+   entries for removed methods).
+2. **Semantics the swap relies on** — the Iceberg-defining behaviors
+   the engine actually depends on, each pinned against the parquet
+   implementation: snapshot-pinned reads (time travel), append as a
+   purely additive metadata commit, atomic manifest commit (a crashed
+   write is invisible), rollback + orphan pruning (the resume path),
+   expire-snapshots vacuum, and MERGE-insert-if-absent idempotency.
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from pyspider_spark.tables import ICEBERG_EQUIVALENTS, TableStore
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType(), False),
+    ]
+)
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame([{"k": k, "v": v} for k, v in pairs], SCHEMA)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path))
+
+
+def test_every_public_method_declares_its_iceberg_equivalent():
+    public = {
+        name
+        for name, m in inspect.getmembers(TableStore, predicate=inspect.isfunction)
+        if not name.startswith("_")
+    }
+    missing = public - set(ICEBERG_EQUIVALENTS)
+    stale = set(ICEBERG_EQUIVALENTS) - public
+    assert not missing, f"TableStore methods without an Iceberg mapping: {missing}"
+    assert not stale, f"Iceberg mappings for removed methods: {stale}"
+    assert all(v.strip() for v in ICEBERG_EQUIVALENTS.values())
+
+
+def test_snapshot_pinned_reads_are_time_travel(spark, store):
+    """Iceberg: spark.read.option('snapshot-id', sid). A reader pinned
+    to snapshot S sees S's rows regardless of later appends/overwrites."""
+    s1 = store.append("t", _df(spark, [("a", 1)]))
+    s2 = store.append("t", _df(spark, [("b", 2)]))
+    store.overwrite("t", _df(spark, [("z", 9)]))
+    assert _rows(store.read("t", s1)) == [("a", 1)]
+    assert _rows(store.read("t", s2)) == [("a", 1), ("b", 2)]
+    assert _rows(store.read("t")) == [("z", 9)]
+
+
+def test_append_is_additive_metadata_commit(spark, store):
+    """Iceberg: writeTo().append() adds data files; prior files are
+    never rewritten (their mtimes and paths are untouched)."""
+    store.append("t", _df(spark, [("a", 1)]))
+    m1 = store._load_manifest("t")
+    dirs1 = set(m1["snapshots"][-1]["dirs"])
+    mtimes = {d: os.stat(d).st_mtime_ns for d in dirs1}
+    store.append("t", _df(spark, [("b", 2)]))
+    m2 = store._load_manifest("t")
+    dirs2 = m2["snapshots"][-1]["dirs"]
+    assert set(dirs2) > dirs1 and len(dirs2) == len(dirs1) + 1
+    for d in dirs1:  # old data files untouched byte-for-byte
+        assert os.stat(d).st_mtime_ns == mtimes[d]
+
+
+def test_crashed_write_is_invisible_until_manifest_commit(spark, store):
+    """Iceberg: a commit is one atomic catalog swap; data files written
+    by a job that died pre-commit are orphans, invisible to readers and
+    swept by remove_orphan_files (prune_abandoned here)."""
+    store.append("t", _df(spark, [("a", 1)]))
+    sid = store.current_snapshot_id("t")
+    # simulate the crash: data dir lands, manifest commit never happens
+    orphan = store._write_datadir("t", _df(spark, [("ghost", 0)]))
+    assert os.path.isdir(orphan)
+    assert _rows(store.read("t")) == [("a", 1)]
+    assert store.current_snapshot_id("t") == sid
+    store.prune_abandoned("t")
+    assert not os.path.isdir(orphan)
+    assert _rows(store.read("t")) == [("a", 1)]
+
+
+def test_rollback_then_prune_is_the_resume_path(spark, store):
+    """Iceberg: rollback_to_snapshot + remove_orphan_files. After
+    rolling back to S, newer snapshots' files are unreferenced and
+    pruned; the table replays from S byte-identically."""
+    s1 = store.append("t", _df(spark, [("a", 1)]))
+    store.append("t", _df(spark, [("b", 2)]))
+    newer = set(store._load_manifest("t")["snapshots"][-1]["dirs"]) - set(
+        store._load_manifest("t")["snapshots"][0]["dirs"]
+    )
+    store.rollback("t", s1)
+    assert _rows(store.read("t")) == [("a", 1)]
+    store.prune_abandoned("t")
+    for d in newer:
+        assert not os.path.isdir(d)
+    # and the table accepts new commits from the rolled-back state
+    store.append("t", _df(spark, [("c", 3)]))
+    assert _rows(store.read("t")) == [("a", 1), ("c", 3)]
+
+
+def test_vacuum_is_expire_snapshots(spark, store):
+    """Iceberg: expire_snapshots drops history; the current snapshot
+    stays readable, old snapshot ids stop resolving."""
+    s1 = store.append("t", _df(spark, [("a", 1)]))
+    store.append("t", _df(spark, [("b", 2)]))
+    store.vacuum("t")
+    assert _rows(store.read("t")) == [("a", 1), ("b", 2)]
+    with pytest.raises(KeyError):
+        store.read("t", s1)
+
+
+def test_merge_insert_if_absent_is_merge_when_not_matched(spark, store):
+    """Iceberg: MERGE INTO ... WHEN NOT MATCHED THEN INSERT. Re-merging
+    an overlapping batch inserts only the new keys — idempotent under
+    the at-least-once replay the crawl loop performs on resume."""
+    store.merge_insert_if_absent("t", _df(spark, [("a", 1), ("b", 2)]), "k", SCHEMA)
+    store.merge_insert_if_absent(
+        "t", _df(spark, [("b", 99), ("c", 3), ("c", 3)]), "k", SCHEMA
+    )
+    assert _rows(store.read("t")) == [("a", 1), ("b", 2), ("c", 3)]
