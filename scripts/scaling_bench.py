@@ -151,6 +151,14 @@ def run_one(cores: int, pin: bool = True) -> dict:
         except (AttributeError, OSError):
             pinned_cpus = []  # non-Linux or already restricted
 
+    # Big-round memory guard: a 4x round (budget 80) lands ~22 GB of
+    # image payload in the tmpfs workdir while the JVM and N Python
+    # workers run; on a 128 GiB box the 48g default heap then gets the
+    # JVM OOM-KILLED by the kernel (not a Spark error — check dmesg).
+    # Cap the heap unless the caller pinned one explicitly.
+    if HOST_BUDGET > 20:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
     spark = get_spark(
         f"scaling{cores}", cores=cores, shuffle_partitions=cores * 2
     )
