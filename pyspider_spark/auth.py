@@ -77,8 +77,8 @@ def decode_access_token(token: str, key: str, tick: int) -> str | None:
     parts = token.split(".")
     if len(parts) != 3:
         return None
-    signing_input = f"{parts[0]}.{parts[1]}".encode("ascii")
     try:
+        signing_input = f"{parts[0]}.{parts[1]}".encode("ascii")
         expected = _sign(signing_input, key)
         if not hmac.compare_digest(expected, _b64url_decode(parts[2])):
             return None

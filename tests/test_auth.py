@@ -46,7 +46,7 @@ def test_token_rejects_forgery_and_garbage():
         json.dumps({"alg": "none", "typ": "JWT"}).encode()
     ).rstrip(b"=").decode()
     assert auth.decode_access_token(f"{none_header}.{p}.{s}", KEY, 0) is None
-    for junk in ("", "a.b", "a.b.c", tok + "x", "..", "\x00"):
+    for junk in ("", "a.b", "a.b.c", tok + "x", "..", "\x00", "é.ü.ß"):
         assert auth.decode_access_token(junk, KEY, tick=0) is None
 
 
