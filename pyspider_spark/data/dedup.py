@@ -6,11 +6,20 @@ training-corpus near-dup ladder. The crawl engine's URL dedup
 (seen.py) removes re-fetches; these remove *content* duplicates after
 fetch.
 
-Portability contract: the only hash anywhere is ``h32`` =
+Portability contract: strings are hashed exactly once with ``h32`` =
 first-8-hex-chars of md5, parsed as an unsigned 32-bit integer — both
 Spark (``conv(substr(md5(x),1,8),16,10)``) and DuckDB
-(``('0x'||substr(md5(x),1,8))::BIGINT``) produce the identical value,
-so the DuckDB oracle replays MinHash/SimHash/LSH bit-for-bit.
+(``('0x'||substr(md5(x),1,8))::BIGINT``) produce the identical value.
+The N MinHash permutations on top of the shingle hashes are
+Carter-Wegman affine maps ``(a_i*h + b_i) mod P`` over int64 — the
+constants are sized (``a_i < 2^30``, ``h < 2^32``) so the product
+stays under 2^62 and BOTH engines evaluate the arithmetic exactly, so
+the DuckDB oracle replays MinHash/SimHash/LSH bit-for-bit. (An earlier
+revision seeded md5 per (i, shingle): correct but ~N md5 calls per
+shingle element inside an interpreted lambda — the same
+interpreted-fold cost shape the ANN signature had. The affine family
+is the standard published MinHash construction and costs one multiply
+per element.)
 
 Scale notes (100 TB):
 - Signatures are per-row projections (codegen, no Python, no shuffle).
@@ -74,6 +83,22 @@ def choose_minhash_geometry(corpus_size: int) -> tuple[int, int]:
     return 128, 16
 
 
+# Carter-Wegman MinHash permutation family: mh_i(h) = (a_i*h + b_i) mod P.
+# P is the smallest prime above 2^32 (every 32-bit shingle hash is a
+# distinct residue); a_i is odd and < 2^30 so a_i*h < 2^62 — exact in
+# signed int64 on both Spark and DuckDB. Constants derive from md5 of
+# the index: deterministic, no RNG, reproducible from the source alone.
+MINHASH_PRIME = 4294967311
+
+
+def minhash_affine_consts(i: int) -> tuple[int, int]:
+    import hashlib
+
+    a = int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:8], 16) % (1 << 30) | 1
+    b = int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:8], 16)
+    return a, b
+
+
 def h32_sql(arg_sql: str) -> str:
     """Spark-SQL snippet for the portable 32-bit hash of a string expr."""
     return f"cast(conv(substr(md5({arg_sql}), 1, 8), 16, 10) as bigint)"
@@ -121,24 +146,24 @@ def minhash_signature(
 ) -> DataFrame:
     """doc_id + mh0..mh{N-1} + band0..band{B-1} (docs with ≥k tokens).
 
-    All N minhashes come from ONE nested-transform expression over the
-    shingle array: Spark has no common-subexpression elimination across
-    lambda columns, so N separate ``array_min(transform(shingles, ...))``
+    All N minhashes come from ONE projection over the shingle array:
+    Spark has no common-subexpression elimination across lambda
+    columns, so N separate ``array_min(transform(shingles, ...))``
     columns would each re-evaluate the md5 shingle extraction (~N× the
     whole cost). The single `_mhs` array keeps one evaluation per row;
     the per-column extracts are cheap element_at projections that
-    CollapseProject will not inline into duplicated work."""
+    CollapseProject will not inline into duplicated work. Each
+    permutation is an affine map over the already-hashed shingles
+    (``minhash_affine_consts`` — one int64 multiply per element, not a
+    seeded md5 per (i, element))."""
     assert n_minhash % n_bands == 0, "bands must tile the signature"
     rows_per_band = n_minhash // n_bands
     df = with_shingles(docs, k).filter(F.size("shingles") > 0)
-    seeded = h32_sql("concat(cast(i as string), ':', cast(h as string))")
-    df = df.withColumn(
-        "_mhs",
-        F.expr(
-            f"transform(sequence(0, {n_minhash - 1}), "
-            f"i -> array_min(transform(shingles, h -> {seeded})))"
-        ),
+    perms = ", ".join(
+        f"array_min(transform(shingles, h -> ({a}L * h + {b}L) % {MINHASH_PRIME}L))"
+        for a, b in (minhash_affine_consts(i) for i in range(n_minhash))
     )
+    df = df.withColumn("_mhs", F.expr(f"array({perms})"))
     df = df.select(
         "*", *[F.element_at("_mhs", i + 1).alias(f"mh{i}") for i in range(n_minhash)]
     ).drop("_mhs")

@@ -791,9 +791,10 @@ def _minhash_cte(k: int = D.SHINGLE_K) -> str:
     sh = D._shingle_duck(_TOKS_DUCK, k)
     mh_cols = []
     for i in range(D.N_MINHASH):
-        seeded = f"'{i}:' || h::VARCHAR"
+        a, b = D.minhash_affine_consts(i)
         mh_cols.append(
-            f"list_min(list_transform(shingles, h -> {D.h32_duck(seeded)})) AS mh{i}"
+            f"list_min(list_transform(shingles, "
+            f"h -> ({a} * h + {b}) % {D.MINHASH_PRIME})) AS mh{i}"
         )
     band_cols = []
     for b in range(D.N_BANDS):
