@@ -79,7 +79,13 @@ def get_cluster_spark(cores_max: int, app: str):
 def run_one(cores_max: int) -> dict:
     from pyspider_spark.loop import CrawlEngine
     from pyspider_spark.synth import GraphSpec
-    from scripts.scaling_bench import FRONTIER_ROWS, N_HOSTS, build_frontier
+    from scripts.scaling_bench import (
+        FRONTIER_ROWS,
+        HOST_BUDGET,
+        N_HOSTS,
+        build_config,
+        build_frontier,
+    )
 
     spark = get_cluster_spark(cores_max, f"scaling-exec-{cores_max}")
     spark.range(1000).count()
@@ -88,6 +94,8 @@ def run_one(cores_max: int) -> dict:
         spec = GraphSpec(n_hosts=N_HOSTS, seed_tag="scaling2", img_scale=IMG_SCALE)
         eng = CrawlEngine(spark, wd, spec, n_seen_partitions=64)
         eng.store.overwrite("frontier", build_frontier(spark, FRONTIER_ROWS, N_HOSTS))
+        if HOST_BUDGET != 20:  # same amortization knob as scaling_bench
+            eng.store.overwrite("config", build_config(spark, N_HOSTS, HOST_BUDGET))
         eng.last_frontier_rows = FRONTIER_ROWS
         t0 = time.perf_counter()
         stats = eng.run_round(0)
