@@ -98,6 +98,10 @@ def main() -> None:
         t0 = time.perf_counter()
         Q.REGISTRY[name].fn(spark, SF_DIR).count()
         times[name] = round(time.perf_counter() - t0, 3)
+        # drop frames the query persisted internally: leaked cache
+        # blocks otherwise accumulate across queries and contend with
+        # the crawl loop's own caches (block-manager memory + GC)
+        spark.catalog.clearCache()
 
     t0 = time.perf_counter()
     crawl = run_crawl(spark, CRAWL_ROUNDS)
