@@ -33,8 +33,11 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import fingerprint
 
@@ -138,13 +141,124 @@ def with_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     return docs.withColumn("shingles", F.expr(_shingle_sql(TOKENS_SQL, k)))
 
 
+# ---- vectorized shingle+minhash path (the 10^9-doc hot loop) ----
+#
+# The SQL shingle extraction is a higher-order transform whose lambda
+# body (slice → array_join → md5 → conv) is evaluated INTERPRETED per
+# element — Spark does not codegen higher-order-function lambdas, so a
+# 54-token doc pays ~50 interpreted md5-over-built-string evaluations,
+# and the affine minhash folds add n_minhash more interpreted passes.
+# At sf0.1 that was ~60% of d_minhash_sig/pairs wall time; at 10^9
+# docs it is the dominant pipeline cost. The Arrow UDF below computes
+# the IDENTICAL integers in one batched pass (hashlib per shingle +
+# one (n_minhash x n_shingles) int64 affine matmul), mirroring Spark's
+# exact tokenization semantics:
+#   - trim(text): strips 0x20 SPACE only (both ends)
+#   - split(_, '\s+'): Java \s is ASCII [ \t\n\x0B\f\r]; limit -1
+#     keeps leading/trailing empty tokens
+#   - array_distinct: first-occurrence order (order is immaterial
+#     downstream — min-fold and set-intersect only — but kept equal)
+# Bit equality with the SQL path is pinned by
+# tests/test_oracle_parity.py::test_minhash_udf_matches_sql, and
+# transitively by the d_minhash_sig / d_minhash_pairs DuckDB oracles.
+
+_JAVA_WS = None  # compiled lazily inside the UDF worker
+
+
+def _shingle_hashes_py(text, k: int) -> list[int]:
+    """Exact Python mirror of _shingle_sql over TOKENS_SQL."""
+    import hashlib
+    import re
+
+    global _JAVA_WS
+    if _JAVA_WS is None:
+        _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+    if text is None:
+        return []
+    toks = _JAVA_WS.split(text.strip(" "))
+    n = len(toks)
+    if n < k:
+        return []
+    out = dict.fromkeys(
+        int(
+            hashlib.md5(" ".join(toks[i : i + k]).encode("utf-8")).hexdigest()[:8],
+            16,
+        )
+        for i in range(n - k + 1)
+    )
+    return list(out)
+
+
+def shingle_minhash_udf(k: int, n_minhash: int):
+    """pandas UDF: text → struct(shingles array<long>, mhs array<long>),
+    bit-identical to the SQL shingle transform + affine min-folds.
+    Docs with no shingles return empty arrays (caller filters)."""
+    consts = [minhash_affine_consts(i) for i in range(n_minhash)]
+    a_vec = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("shingles", T.ArrayType(T.LongType())),
+                T.StructField("mhs", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def f(texts: pd.Series) -> pd.DataFrame:
+        shingles, mhs = [], []
+        for t in texts:
+            hs = _shingle_hashes_py(t, k)
+            shingles.append(hs)
+            if hs:
+                h = np.array(hs, dtype=np.int64)[None, :]
+                # a < 2^30, h < 2^32 → a*h + b < 2^62: exact in int64
+                mh = ((a_vec * h + b_vec) % MINHASH_PRIME).min(axis=1)
+                mhs.append(mh.tolist())
+            else:
+                mhs.append([])
+        return pd.DataFrame({"shingles": shingles, "mhs": mhs})
+
+    return f
+
+
 def minhash_signature(
     docs: DataFrame,
     k: int = SHINGLE_K,
     n_minhash: int = N_MINHASH,
     n_bands: int = N_BANDS,
 ) -> DataFrame:
-    """doc_id + mh0..mh{N-1} + band0..band{B-1} (docs with ≥k tokens).
+    """doc_id + shingles + mh0..mh{N-1} + band0..band{B-1} (docs with
+    ≥k tokens). Shingle hashes and minhashes come from ONE Arrow-batched
+    UDF pass (see shingle_minhash_udf); band keys are plain codegen md5
+    over the extracted mh columns. Values are bit-identical to the
+    reference SQL construction (minhash_signature_sql), which the
+    DuckDB oracles replay."""
+    assert n_minhash % n_bands == 0, "bands must tile the signature"
+    rows_per_band = n_minhash // n_bands
+    sm = shingle_minhash_udf(k, n_minhash)
+    df = (
+        docs.withColumn("_sm", sm(F.col("text")))
+        .withColumn("shingles", F.col("_sm.shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    df = df.select(
+        "*",
+        *[F.element_at("_sm.mhs", i + 1).alias(f"mh{i}") for i in range(n_minhash)],
+    ).drop("_sm")
+    return _band_columns(df, n_minhash, n_bands)
+
+
+def minhash_signature_sql(
+    docs: DataFrame,
+    k: int = SHINGLE_K,
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Pure-SQL reference construction of minhash_signature — the shape
+    the DuckDB oracle mirrors. Kept as the equivalence pin for the
+    Arrow-batched default (interpreted higher-order lambdas make it
+    several times slower; see shingle_minhash_udf).
 
     All N minhashes come from ONE projection over the shingle array:
     Spark has no common-subexpression elimination across lambda
@@ -157,7 +271,6 @@ def minhash_signature(
     (``minhash_affine_consts`` — one int64 multiply per element, not a
     seeded md5 per (i, element))."""
     assert n_minhash % n_bands == 0, "bands must tile the signature"
-    rows_per_band = n_minhash // n_bands
     df = with_shingles(docs, k).filter(F.size("shingles") > 0)
     perms = ", ".join(
         f"array_min(transform(shingles, h -> ({a}L * h + {b}L) % {MINHASH_PRIME}L))"
@@ -167,6 +280,11 @@ def minhash_signature(
     df = df.select(
         "*", *[F.element_at("_mhs", i + 1).alias(f"mh{i}") for i in range(n_minhash)]
     ).drop("_mhs")
+    return _band_columns(df, n_minhash, n_bands)
+
+
+def _band_columns(df: DataFrame, n_minhash: int, n_bands: int) -> DataFrame:
+    rows_per_band = n_minhash // n_bands
     for b in range(n_bands):
         parts = ", ".join(
             f"cast(mh{b * rows_per_band + r} as string)"

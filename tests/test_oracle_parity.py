@@ -87,3 +87,43 @@ def test_minhash_wide_geometry(spark):
     assert D.choose_minhash_geometry(10**4) == (8, 4)
     assert D.choose_minhash_geometry(10**8) == (32, 8)
     assert D.choose_minhash_geometry(10**10) == (128, 16)
+
+
+def test_minhash_udf_matches_sql(spark):
+    """The Arrow-batched shingle+minhash path must be bit-identical to
+    the pure-SQL reference construction the DuckDB oracle mirrors —
+    on the corpus fixture AND on tokenization edge cases (leading
+    non-space whitespace, trailing separators, empty/None text, NBSP,
+    multi-byte UTF-8)."""
+    from pyspider_spark.data import dedup as D
+
+    def snap(df):
+        return {
+            r.doc_id: (sorted(r.shingles), [r[f"mh{i}"] for i in range(D.N_MINHASH)],
+                       [r[f"band{b}"] for b in range(D.N_BANDS)])
+            for r in df.select(
+                "doc_id", "shingles",
+                *[f"mh{i}" for i in range(D.N_MINHASH)],
+                *[f"band{b}" for b in range(D.N_BANDS)],
+            ).collect()
+        }
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert snap(D.minhash_signature(docs)) == snap(D.minhash_signature_sql(docs))
+
+    edge = spark.createDataFrame(
+        [
+            (1, "\tleading tab then words a b c d e f"),
+            (2, "trailing newline a b c d e\n"),
+            (3, "  double  spaces   between tokens here now  "),
+            (4, ""),
+            (5, None),
+            (6, "short doc"),
+            (7, "nbsp joined tokens stay one token a b c d"),
+            (8, "múlti býte ütf8 tøkens å b c d e"),
+            (9, "a b c d e a b c d e a b c d e"),
+            (10, " \t mixed \r\n ws \x0b forms \f here a b c"),
+        ],
+        "doc_id int, text string",
+    )
+    assert snap(D.minhash_signature(edge)) == snap(D.minhash_signature_sql(edge))
