@@ -22,7 +22,10 @@ is the standard published MinHash construction and costs one multiply
 per element.)
 
 Scale notes (100 TB):
-- Signatures are per-row projections (codegen, no Python, no shuffle).
+- Signatures are per-row, no shuffle: one Arrow-batched pass per doc
+  batch (shingle_minhash_udf — hashlib per shingle + an int64 affine
+  matmul), with the pure-SQL construction kept as the oracle-shaped
+  reference (minhash_signature_sql). Band keys are codegen md5.
 - LSH candidate generation shuffles once on the band key — the whole
   point of banding is that this shuffle is tiny (4 rows/doc) compared
   with the quadratic all-pairs join it replaces; band-key hot spots

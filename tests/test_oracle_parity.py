@@ -127,3 +127,40 @@ def test_minhash_udf_matches_sql(spark):
         "doc_id int, text string",
     )
     assert snap(D.minhash_signature(edge)) == snap(D.minhash_signature_sql(edge))
+
+
+def test_minhash_udf_matches_sql_fuzz(spark):
+    """Seeded fuzz corpus over a hostile alphabet (every ASCII
+    whitespace form, Unicode whitespace that Java \\s does NOT match,
+    control chars, combining marks, CJK, emoji): the Python tokenizer
+    mirror must track Spark's trim/split semantics exactly."""
+    import random
+
+    from pyspider_spark.data import dedup as D
+
+    rng = random.Random(20260821)
+    atoms = (
+        [" ", "\t", "\n", "\r", "\x0b", "\f"]  # Java \s (ASCII)
+        + [" ", " ", " ", "　"]  # Unicode WS: NOT \s in Java
+        + ["\x00", "\x1f", "\x7f"]  # control chars
+        + ["a", "b", "word", "Wort", "ça", "słowo", "文字", "😀", "é"]
+        + ["0", "42", ".", "-", "a:b"]
+    )
+    docs = [
+        (i, "".join(rng.choice(atoms) for _ in range(rng.randint(0, 40))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    def snap(out):
+        return {
+            r.doc_id: (sorted(r.shingles), [r[f"mh{i}"] for i in range(D.N_MINHASH)])
+            for r in out.select(
+                "doc_id", "shingles", *[f"mh{i}" for i in range(D.N_MINHASH)]
+            ).collect()
+        }
+
+    got, want = snap(D.minhash_signature(df)), snap(D.minhash_signature_sql(df))
+    assert got == want
+    # and the UDF must agree the same docs were shingle-less
+    assert set(got) == set(want)
