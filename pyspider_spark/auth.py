@@ -108,7 +108,11 @@ def verify_password(plain_password: str, hashed_password: str) -> bool:
     """Constant-time check against a stored hash string
     (≙ CryptContext.verify, app/security.py:29-30)."""
     try:
-        scheme, iters, salt, hexdigest = hashed_password.split("$", 3)
+        # the salt is caller-supplied and may itself contain '$'
+        # (e.g. derived from a username): parse the two fixed fields
+        # from the left, the digest from the right, salt = the middle
+        scheme, iters, rest = hashed_password.split("$", 2)
+        salt, hexdigest = rest.rsplit("$", 1)
         if scheme != "pbkdf2_sha256":
             return False
         recomputed = hash_password(plain_password, salt, int(iters))

@@ -63,6 +63,9 @@ def run_fetch(
     http_opts: dict | None = None,
 ) -> DataFrame:
     """popped frontier rows -> FETCH_RESULTS rows."""
+    if transport not in ("sim", "http"):
+        # a typo must not silently fabricate synthetic crawl data
+        raise ValueError(f"unknown transport {transport!r}: use 'sim' or 'http'")
     cols = _FETCH_COLS + [c for c in _PARAM_COLS if c in popped.columns]
     opts = dict(http_opts or {})
 
@@ -76,17 +79,27 @@ def run_fetch(
     return popped.select(*cols).mapInPandas(fetch_partition, schema=FETCH_RESULTS)
 
 
-def _http_one(url: str, headers: dict, timeout_s: float) -> tuple[int, str]:
+def _http_one(
+    url: str, headers: dict, timeout_s: float, proxy: str | None = None
+) -> tuple[int, str]:
     """One GET, stdlib-only. HTTP errors return their real status+body;
     transport errors (refused, DNS, timeout) return 599 — the engine's
     retry predicate is status >= 500, matching the reference's
-    catch-all retry (common/spider.py:147-156)."""
+    catch-all retry (common/spider.py:147-156). ``proxy`` routes the
+    request through a forward proxy (per-row rotation)."""
     import urllib.error
     import urllib.request
 
     req = urllib.request.Request(url, headers=headers, method="GET")
+    opener = (
+        urllib.request.build_opener(
+            urllib.request.ProxyHandler({"http": proxy, "https": proxy})
+        )
+        if proxy
+        else urllib.request.build_opener()
+    )
     try:
-        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        with opener.open(req, timeout=timeout_s) as resp:
             return int(resp.status), resp.read().decode("utf-8", "replace")
     except urllib.error.HTTPError as e:
         try:
@@ -103,12 +116,19 @@ def http_fetch_batch(
     timeout_s: float = HTTP_TIMEOUT_S,
     pool_size: int = HTTP_POOL_SIZE,
     base_override: str | None = None,
+    use_proxies: bool = False,
 ) -> pd.DataFrame:
     """REAL-network fetch of one Arrow batch: a thread pool (the
     reference's asyncio.Semaphore concurrency bound re-expressed) of
     urllib GETs carrying each row's request params. ``base_override``
     (e.g. ``http://127.0.0.1:8907``) swaps the origin and carries the
-    original host in the Host header — reverse-proxy routing.
+    original host in BOTH the Host header (standard reverse-proxy
+    routing — nginx/envoy route on it) and X-Original-Host (explicit).
+    ``use_proxies=True`` routes each request through the row's
+    ``proxy`` column (per-(url, retry) rotation, params.proxy_col) —
+    off by default because the surrogate pool is ``.invalid``
+    placeholders; a deployment swaps params.PROXY_POOL for real
+    endpoints and flips this on.
 
     ``out_links``/``image_refs`` come back None: over real HTTP the
     body is authoritative and the parse stages extract links from it
@@ -129,8 +149,10 @@ def http_fetch_batch(
                 urllib.parse.urlsplit(base_override)[:2]
                 + (parts.path, parts.query, "")
             )
+            headers["Host"] = parts.netloc
             headers["X-Original-Host"] = parts.netloc
-        return _http_one(url, headers, timeout_s)
+        proxy = row.get("proxy") if use_proxies else None
+        return _http_one(url, headers, timeout_s, proxy=proxy)
 
     rows = [row for _, row in pdf.iterrows()]
     if rows:

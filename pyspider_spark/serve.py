@@ -137,6 +137,12 @@ class ServingCache:
         self.store.overwrite(
             self.table, live.select(*[f.name for f in SERVING_CACHE.fields])
         )
+        # drop superseded data dirs + truncate snapshot history: without
+        # this the overwrite keeps every prior snapshot and per-put data
+        # dir forever (disk O(total puts), manifest parse O(compactions)
+        # per lookup). Safe here: the serving layer is the table's only
+        # writer/reader and holds no pinned snapshot across requests.
+        self.store.vacuum(self.table)
 
     def cache(self, name: str, key: str, compute: Callable[[], str],
               tick: int) -> tuple[str, bool]:
@@ -162,7 +168,9 @@ def keyword_search(items: DataFrame, keyword: str, page: int,
     # deterministic page: TakeOrdered top (start+size) — a bounded
     # per-partition heap + driver merge, never a full sort — then slice
     # off the page with a row_number over that ≤(start+size)-row frame.
-    start = (page - 1) * page_size
+    # endpoint boundary input: page < 1 clamps to the first page
+    # (limit(-n) would raise out of the endpoint body)
+    start = (max(int(page), 1) - 1) * page_size
     head = matched.orderBy("asin_id").limit(start + page_size)
     w = Window.orderBy("asin_id")
     return (
@@ -187,6 +195,7 @@ def serve_keyword_search(
     and returns. Response envelope mirrors CommonResponse."""
     from .schemas import ITEMS
 
+    page = max(int(page), 1)  # one clamp, one cache key per result
     cache = ServingCache(store, ttl_ticks=ttl_ticks)
     cache_key = f"{keyword}-{page}"
 

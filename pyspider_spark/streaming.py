@@ -48,8 +48,6 @@ def tail_table(spark: SparkSession, workdir: str, name: str) -> DataFrame:
 
 def items_per_round(spark: SparkSession, workdir: str) -> DataFrame:
     """Live per-round item counts (stateful streaming aggregation)."""
-    from pyspark.sql import functions as F
-
     return tail_table(spark, workdir, "items").groupBy("round").agg(
         F.count("*").alias("n_items")
     )
@@ -141,9 +139,14 @@ def drain_seeds_into_engine(seed_stream: DataFrame, engine, next_round: int) -> 
 
 def run_once_to_memory(stream_df: DataFrame, query_name: str):
     """Drain everything currently on disk into an in-memory table
-    (availableNow trigger) and return the finished query handle."""
+    (availableNow trigger) and return the finished query handle.
+
+    Output mode is chosen from the plan: aggregated streams need
+    ``complete`` (memory sink keeps the full result), raw table tails
+    need ``append`` (Spark rejects complete without an aggregation)."""
+    aggregated = "Aggregate" in stream_df._jdf.queryExecution().analyzed().toString()
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode("complete" if aggregated else "append")
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)

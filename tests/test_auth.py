@@ -64,3 +64,13 @@ def test_password_hash_roundtrip():
     assert not auth.verify_password("hunter2", h.replace("user-7", "user-8"))
     assert not auth.verify_password("hunter2", "not-a-hash")
     assert not auth.verify_password("hunter2", "md5$1$x$deadbeef")
+
+
+def test_verify_password_salt_with_dollar():
+    """The salt is caller-supplied (docstring: derive from username) —
+    a '$' inside it must not break the modular-format parse."""
+    from pyspider_spark.auth import hash_password, verify_password
+
+    stored = hash_password("pw", "a$b$c")
+    assert verify_password("pw", stored)
+    assert not verify_password("wrong", stored)

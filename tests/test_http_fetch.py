@@ -30,8 +30,21 @@ class _SynthHandler(BaseHTTPRequestHandler):
     seen_headers: list[dict] = []
 
     def do_GET(self):  # noqa: N802 (stdlib naming)
-        host = self.headers.get("X-Original-Host", "")
-        url = f"https://{host}{self.path}"
+        if self.path.startswith("http://") or self.path.startswith("https://"):
+            # forward-proxy mode: urllib sends the absolute URI as the
+            # request line when routed through ProxyHandler
+            from urllib.parse import urlsplit
+
+            p = urlsplit(self.path)
+            host, path = p.netloc, p.path + (f"?{p.query}" if p.query else "")
+            url = f"https://{host}{path}"
+        else:
+            # reverse-proxy mode: route on Host (the standard contract),
+            # X-Original-Host kept as the explicit fallback
+            host = self.headers.get("Host", "")
+            if host.startswith("127.0.0.1"):
+                host = self.headers.get("X-Original-Host", "")
+            url = f"https://{host}{self.path}"
         type(self).seen_headers.append(dict(self.headers))
         r = synth.fetch_sim(SPEC, url)
         body = r["body"].encode("utf-8")
@@ -140,3 +153,42 @@ def test_http_transport_crawl_byte_identical_to_sim(
         ("metrics", METRICS),
     ]:
         assert _digest(a, t, s) == _digest(b, t, s), t
+
+
+def test_http_host_header_reverse_proxy_contract(synth_server):
+    """base_override must put the ORIGINAL host in the Host header —
+    the routing key every standard reverse proxy (nginx/envoy) uses."""
+    _SynthHandler.seen_headers = []
+    url = "https://host0.example/list/0/page/1"
+    out = http_fetch_batch(_fetch_frame([url], ["list"]), base_override=synth_server)
+    assert list(out["status"]) == [synth.fetch_sim(SPEC, url)["status"]]
+    h = _SynthHandler.seen_headers[-1]
+    assert h.get("Host") == "host0.example"
+    assert h.get("X-Original-Host") == "host0.example"
+
+
+def test_http_per_row_proxy_rotation(synth_server):
+    """use_proxies=True routes each request through the row's proxy
+    column (forward-proxy absolute-URI form) — the per-(url, retry)
+    rotation contract of params.proxy_col, actually on the wire."""
+    urls = ["http://host0.example/list/0/page/1", "http://host1.example/detail/sku-x"]
+    pdf = _fetch_frame(urls, ["list", "detail"])
+    pdf["proxy"] = [synth_server, synth_server]
+    out = http_fetch_batch(pdf, use_proxies=True)
+    want = [synth.fetch_sim(SPEC, u.replace("http://", "https://")) for u in urls]
+    assert list(out["status"]) == [w["status"] for w in want]
+    assert list(out["body"]) == [w["body"] for w in want]
+    # a dead proxy is a transport error -> 599 retryable, re-rolled on
+    # retry by the deterministic rotation
+    pdf_dead = _fetch_frame([urls[0]], ["list"])
+    pdf_dead["proxy"] = ["http://127.0.0.1:9"]
+    dead = http_fetch_batch(pdf_dead, use_proxies=True, timeout_s=1.0)
+    assert list(dead["status"]) == [599]
+
+
+def test_unknown_transport_raises():
+    """A transport typo must raise, not silently crawl the simulator."""
+    from pyspider_spark.fetch import run_fetch
+
+    with pytest.raises(ValueError, match="unknown transport"):
+        run_fetch(None, SPEC, transport="HTTP")

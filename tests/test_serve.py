@@ -100,3 +100,41 @@ def test_serve_endpoint_roundtrip(store, spark):
     assert r2["cache_hit"] and r2["data"] == r1["data"]
     assert all("widget-2" in row["goods_name"] for row in r1["data"])
     assert len(r1["data"]) > 0
+
+
+def test_cache_disk_bounded_across_many_puts(store):
+    """A long-running server must not grow disk/manifest without bound:
+    after enough puts to trigger several compactions, the live data
+    dirs AND the snapshot history stay bounded (compaction vacuums
+    superseded dirs and truncates history — VERDICT r2 #3 analogue for
+    the serving path)."""
+    import json
+    import os
+
+    from pyspider_spark.serve import COMPACT_AFTER_DIRS
+
+    c = ServingCache(store, ttl_ticks=10**6)
+    n_puts = COMPACT_AFTER_DIRS * 3 + 5
+    for i in range(n_puts):
+        c.put("t", f"k{i}", f"v{i}", tick=i)
+    assert store.n_data_dirs(c.table) <= COMPACT_AFTER_DIRS + 1
+    # superseded per-put dirs are vacuumed, not just dropped from the
+    # snapshot: on-disk dir count tracks the live snapshot
+    tdir = os.path.join(store.root, c.table)
+    assert len(os.listdir(tdir)) <= COMPACT_AFTER_DIRS + 2
+    with open(os.path.join(store.root, "_manifests", f"{c.table}.json")) as f:
+        m = json.load(f)
+    assert len(m["snapshots"]) <= COMPACT_AFTER_DIRS + 2, "history must truncate"
+    # every key within TTL stays servable after the folds
+    assert c.get("t", "k0", tick=n_puts) == "v0"
+    assert c.get("t", f"k{n_puts-1}", tick=n_puts) == f"v{n_puts-1}"
+
+
+def test_keyword_search_page_clamped(store, spark):
+    """page <= 0 is an endpoint boundary input: it must clamp to page 1,
+    not raise out of limit(-n) or cache an empty page."""
+    items = store.read_or_empty("items", ITEMS)
+    p1 = [r.asin_id for r in keyword_search(items, "widget", 1).collect()]
+    p0 = [r.asin_id for r in keyword_search(items, "widget", 0).collect()]
+    pneg = [r.asin_id for r in keyword_search(items, "widget", -3).collect()]
+    assert p1 and p0 == p1 and pneg == p1

@@ -106,3 +106,18 @@ def test_streaming_tail_matches_batch(crawl, spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_raw_tail_drains_append_mode(crawl, spark):
+    """run_once_to_memory on a RAW table tail (no aggregation) must
+    pick append mode (Spark rejects complete without an aggregate) and
+    deliver every on-disk row exactly once."""
+    eng, wd, _ = crawl
+    from pyspider_spark.schemas import ITEMS
+
+    raw = streaming.tail_table(spark, wd, "items")
+    assert raw.isStreaming
+    streaming.run_once_to_memory(raw, "items_raw_t")
+    got = spark.sql("SELECT count(*) AS n FROM items_raw_t").collect()[0].n
+    want = eng.store.read_or_empty("items", ITEMS).count()
+    assert got == want > 0
