@@ -149,6 +149,7 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.spec = spec
+        self.workdir = workdir
         self.store = TableStore(spark, workdir)
         self.seen = SeenSet(self.store, n_partitions=n_seen_partitions, use_bloom=use_bloom)
         # url-ever-enqueued membership (dedup at link-discovery time) —
@@ -204,18 +205,47 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- ledger
     def _read_ledger(self) -> list[dict]:
+        """Ledger entries, oldest first. JSONL (one entry per line):
+        a torn final line from a crash mid-append parses as 'round not
+        committed' and is skipped — exactly the resume contract. The
+        legacy whole-array format is still readable."""
         if not os.path.exists(self._ledger_path):
             return []
         with open(self._ledger_path) as f:
-            return json.load(f)
+            head = f.read(1)
+            f.seek(0)
+            if head == "[":  # legacy format (rewritten-array ledger)
+                return json.load(f)
+            entries = []
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    entries.append(json.loads(line))
+                except json.JSONDecodeError:
+                    break  # torn tail — everything after is uncommitted
+            return entries
 
     def _append_ledger(self, entry: dict) -> None:
-        ledger = self._read_ledger()
-        ledger.append(entry)
-        tmp = f"{self._ledger_path}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(ledger, f, indent=1)
-        os.rename(tmp, self._ledger_path)
+        """O(1) fsync'd append — the previous rewrite-the-array commit
+        re-parsed and re-dumped the full history (with all lineage)
+        every round: O(rounds²) driver cost over a long crawl."""
+        p = self._ledger_path
+        if os.path.exists(p):
+            with open(p) as f:
+                if f.read(1) == "[":  # migrate a legacy array ledger once
+                    entries = self._read_ledger()
+                    tmp = f"{p}.tmp.{uuid.uuid4().hex}"
+                    with open(tmp, "w") as out:
+                        for e in entries:
+                            out.write(json.dumps(e, sort_keys=True) + "\n")
+                    os.rename(tmp, p)
+        line = json.dumps(entry, sort_keys=True)
+        with open(p, "a") as f:
+            f.write(line + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     def last_completed_round(self) -> int | None:
         ledger = self._read_ledger()
@@ -397,17 +427,19 @@ class CrawlEngine:
         # deterministic UA/proxy/header rotation per (url, retry))
         from .params import with_request_params
 
-        results = self._fetch_with_memo(with_request_params(popped), r).persist(CACHE)
+        results = self._fetch_with_memo(with_request_params(popped), r)
         # ok/requeue are cheap scalar filters over the results cache: a
         # second persist of `ok` would re-write every body+image byte to
         # scratch (non-scaling single-box I/O); its five consumers read
         # the results cache and re-apply the filter instead.
         ok, requeue, exhausted = scheduler.split_fetch_outcomes(results, CAPTCHA_MARKER)
-        requeue = requeue.persist()
-        # one agg job for all four fetch-outcome counters
-        is_fail = F.col("status") >= 500
-        is_captcha = (F.col("status") == 200) & F.col("body").contains(CAPTCHA_MARKER)
-        can_retry = F.col("retries") + 1 < F.col("max_retries")
+        # (requeue is consumed exactly once, via requeue_rows below, and
+        # reads the results cache — persisting it would only hold body
+        # bytes on the heap)
+        # one agg job for all four fetch-outcome counters, built from
+        # the SAME predicate definitions the row split uses
+        p = scheduler.fetch_outcome_predicates(CAPTCHA_MARKER)
+        is_fail, is_captcha, can_retry = p["is_fail"], p["is_captcha"], p["can_retry"]
         oc = results.agg(
             F.count(F.when(~is_fail & ~is_captcha, 1)).alias("ok"),
             F.count(F.when((is_fail | is_captcha) & ~can_retry, 1)).alias("failed"),
@@ -472,7 +504,7 @@ class CrawlEngine:
             new_rows=new_rows, sales=sales, vet_count_fn=vet_count_fn,
         )
 
-        for df in (results, requeue, parsed_api, new_rows):
+        for df in (results, parsed_api, new_rows):
             df.unpersist()
         self._unpersist_round()
         return stats
@@ -525,14 +557,21 @@ class CrawlEngine:
         (fresh within the TTL window) skip the fetch entirely; misses
         are fetched and appended to the memo table. The fetcher is
         deterministic, so cached and live results are identical — the
-        memo changes cost, never output."""
+        memo changes cost, never output.
+
+        Returns the round's PERSISTED results frame (both branches):
+        in the memo branch the union itself is the one persisted copy —
+        the memo-table append reads miss rows (``_hit`` marker) from it,
+        so each miss body hits local scratch exactly once. (An earlier
+        revision persisted the inner fetch AND the union: every miss
+        body serialized to scratch twice.)"""
         from .schemas import FETCH_CACHE, FETCH_RESULTS
 
         if self.fetch_cache_ttl_rounds is None:
             return run_fetch(
                 popped, self.spec, transport=self.transport,
                 http_opts=self.http_opts,
-            )
+            ).persist(CACHE)
         store = self.store
         fresh = store.read_or_empty("fetch_cache", FETCH_CACHE).filter(
             F.col("cached_round") >= r - self.fetch_cache_ttl_rounds
@@ -554,14 +593,24 @@ class CrawlEngine:
         misses = joined.filter(F.col("_c").isNull()).drop("_c")
         fetched = run_fetch(
             misses, self.spec, transport=self.transport, http_opts=self.http_opts
-        ).persist(CACHE)
-        self._round_persists.append(fetched)
-        # cache only successful, non-captcha responses: a memoized
+        )
+        results = (
+            hits.withColumn("_hit", F.lit(True))
+            .unionByName(
+                fetched.select(*result_cols).withColumn("_hit", F.lit(False))
+            )
+            .persist(CACHE)
+        )
+        # cache only successful, non-captcha MISS responses: a memoized
         # failure would otherwise be served to the retry pop within the
         # TTL, so a real (non-deterministic) fetcher could never observe
-        # a recovered fetch.
-        cacheable = fetched.filter(
-            (F.col("status") < 500) & ~F.col("body").contains(CAPTCHA_MARKER)
+        # a recovered fetch. This append is the round's first action on
+        # the results frame, so it also materializes the persist —
+        # downstream consumers (and the append itself) read ONE copy.
+        cacheable = results.filter(
+            ~F.col("_hit")
+            & (F.col("status") < 500)
+            & ~F.col("body").contains(CAPTCHA_MARKER)
         )
         store.append(
             "fetch_cache",
@@ -569,7 +618,7 @@ class CrawlEngine:
                 "url_canon", "status", "body", "out_links", "image_refs"
             ).withColumn("cached_round", F.lit(r).cast("int")),
         )
-        return hits.unionByName(fetched.select(*result_cols))
+        return results
 
     def ingest_urls(self, urls: DataFrame, next_round: int) -> int:
         """Out-of-band URL ingestion (S10 Kafka-source path,
@@ -601,6 +650,23 @@ class CrawlEngine:
             self.last_frontier_rows = self.store.count_rows(
                 "frontier"
             ) - self.store.count_rows("tomb")
+            # pin the ingest in the ledger: without this, a crash before
+            # the NEXT round completes would roll the table pointers
+            # back past the ingest and prune the ingested data dirs —
+            # destroying URLs whose source (e.g. a Kafka consumer that
+            # committed its offsets on our return) will never redeliver.
+            self._append_ledger(
+                {
+                    "round": next_round - 1,
+                    "kind": "ingest",
+                    "rows": int(n),
+                    "snapshots": {
+                        t: self.store.current_snapshot_id(t) for t in ALL_TABLES
+                    },
+                    "metrics": stats.__dict__,
+                    "partition_lineage": [],
+                }
+            )
         rows.unpersist()
         self._unpersist_round()
         return n
@@ -832,6 +898,15 @@ class CrawlEngine:
                 last = -1
             start = last + 1
         else:
+            if self.last_completed_round() is not None:
+                # bootstrap() only overwrites config/robots/frontier —
+                # the old tomb/seen/enqueued state would silently
+                # anti-join every new seed away (an empty "crawl" with
+                # no error). Refuse rather than destroy or mislead.
+                raise ValueError(
+                    f"workdir {self.workdir!r} already holds a crawl ledger: "
+                    "pass resume=True to continue it, or use a fresh workdir"
+                )
             self.bootstrap()
             start = 0
         self.last_frontier_rows = self.store.count_rows(
@@ -904,4 +979,5 @@ class CrawlEngine:
         # band-index blobs: rebuild one right-sized blob per partition
         # (also resolves any saturation accumulated from round appends)
         if self.store.count_rows("image_bands") > 0:
-            neardup.BandIndex(self.store).compact(r)
+            nb, bb = self.neardup_geometry
+            neardup.BandIndex(self.store, n_bands=nb, band_bits=bb).compact(r)

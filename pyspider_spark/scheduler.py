@@ -341,19 +341,25 @@ def pop(
     return popped, deferred
 
 
+def fetch_outcome_predicates(captcha_marker: str) -> dict:
+    """The ONE definition of the fetch-outcome rules, shared by the
+    row split below and the engine's counter aggregation (loop.py) so
+    the metrics can never diverge from the rows actually routed."""
+    is_fail = F.col("status") >= 500
+    is_captcha = (F.col("status") == 200) & F.col("body").contains(captcha_marker)
+    can_retry = F.col("retries") + 1 < F.col("max_retries")
+    return {"is_fail": is_fail, "is_captcha": is_captcha, "can_retry": can_retry}
+
+
 def split_fetch_outcomes(results: DataFrame, captcha_marker: str):
     """Partition fetch results into ok / retryable / exhausted
     (reference retry loop common/spider.py:133-163 + captcha re-enqueue
     spiders/amazon/crawl_goods_list.py:50-52)."""
-    is_fail = F.col("status") >= 500
-    is_captcha = (F.col("status") == 200) & F.col("body").contains(captcha_marker)
+    p = fetch_outcome_predicates(captcha_marker)
+    is_fail, is_captcha = p["is_fail"], p["is_captcha"]
     ok = results.filter(~is_fail & ~is_captcha)
-    retryable = results.filter(
-        (is_fail | is_captcha) & (F.col("retries") + 1 < F.col("max_retries"))
-    )
-    exhausted = results.filter(
-        (is_fail | is_captcha) & (F.col("retries") + 1 >= F.col("max_retries"))
-    )
+    retryable = results.filter((is_fail | is_captcha) & p["can_retry"])
+    exhausted = results.filter((is_fail | is_captcha) & ~p["can_retry"])
     requeue = (
         retryable.withColumn("retries", (F.col("retries") + 1).cast("int"))
         .withColumn("_captcha", is_captcha)

@@ -113,6 +113,65 @@ class SeenSet:
         # "enqueued_filters") for dedup at link-discovery time.
         self.table = table
         self.filters_table = filters_table
+        self._validate_geometry()
+
+    # The partition count and bloom sizing are PERSISTENT properties of
+    # the stored set, not free per-open knobs: blobs were built under a
+    # specific (P, n_bits), so probing them with different values makes
+    # seen URLs hash to blobs that never contained them ("definitely
+    # new" -> silent re-crawl) or crashes bloom_merge on shape mismatch.
+    # First add() records the geometry; every later open validates it.
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, "_manifests", f"{self.table}_meta.json")
+
+    def _validate_geometry(self) -> None:
+        import json
+        import os
+
+        p = self._meta_path()
+        if not os.path.exists(p):
+            return
+        with open(p) as f:
+            meta = json.load(f)
+        if meta["n_partitions"] != self.P or meta["n_bits"] != self.n_bits:
+            raise ValueError(
+                f"{self.table} set was built with n_partitions="
+                f"{meta['n_partitions']}, n_bits={meta['n_bits']}; reopening "
+                f"with ({self.P}, {self.n_bits}) would silently break dedup"
+            )
+        if not meta["use_bloom"] and self.use_bloom:
+            raise ValueError(
+                f"{self.table} set has rows added without bloom blobs; "
+                "reopening with use_bloom=True would treat them as unseen "
+                "(missing blob reads as 'definitely new')"
+            )
+
+    def _record_geometry(self) -> None:
+        import json
+        import os
+
+        p = self._meta_path()
+        if os.path.exists(p):
+            if not self.use_bloom:  # blobless rows poison any future bloom use
+                with open(p) as f:
+                    meta = json.load(f)
+                if meta["use_bloom"]:
+                    meta["use_bloom"] = False
+                    with open(p, "w") as f:
+                        json.dump(meta, f)
+            return
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            json.dump(
+                {
+                    "n_partitions": self.P,
+                    "n_bits": self.n_bits,
+                    "use_bloom": self.use_bloom,
+                },
+                f,
+            )
 
     def read(self) -> DataFrame:
         return self.store.read_or_empty(self.table, SEEN)
@@ -120,52 +179,16 @@ class SeenSet:
     def filter_unseen(self, candidates: DataFrame, url_col: str = "url_canon") -> DataFrame:
         """Return candidates whose url_canon is NOT in the seen set.
 
-        Plan shape: [bloom cogroup prefilter] -> exact left_anti on the
-        maybe-seen slice only -> union with definite-new slice.
-        """
-        seen = self.read()
-        if not self.use_bloom:
-            return candidates.join(
-                seen.select("url_canon").withColumnRenamed("url_canon", url_col),
-                on=url_col,
-                how="left_anti",
-            )
-
-        filters = self.store.read_or_empty(self.filters_table, SEEN_FILTERS)
-        # Only (url, pid) go through the Python cogroup: Arrow serde of
-        # the full frontier row (map + many strings) costs more than the
-        # bloom probe itself and does not parallelize well.
-        slim = candidates.select(F.col(url_col).alias("_u")).withColumn(
-            "_pid", partition_id_col(F.col("_u"), self.P)
-        )
-
-        n_bits = self.n_bits
-
-        def flag(cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(cand_pdf) == 0:
-                return pd.DataFrame({"_u": pd.Series([], dtype=object)})
-            blob = None
-            if len(filt_pdf) > 0:
-                blob = bloom_merge(list(filt_pdf["filter"]), n_bits)
-            maybe = bloom_maybe_contains(cand_pdf["_u"], blob, n_bits)
-            return pd.DataFrame({"_u": cand_pdf["_u"][maybe]})
-
-        from pyspark.sql import types as T
-
-        maybe_urls = (
-            slim.groupBy("_pid")
-            .cogroup(filters.withColumnRenamed("partition_id", "_pid").groupBy("_pid"))
-            .applyInPandas(
-                flag, schema=T.StructType([T.StructField("_u", T.StringType())])
-            )
-        )
-        # exact membership check only for bloom-maybe URLs; candidates
-        # drop only on a confirmed hit. One slim semi-join + one anti-join.
-        hits = maybe_urls.join(
-            seen.select(F.col("url_canon").alias("_u")), on="_u", how="left_semi"
-        )
-        return candidates.join(
-            hits.withColumnRenamed("_u", url_col), on=url_col, how="left_anti"
+        One implementation of the probe exists — :meth:`mark_unseen`
+        (bloom cogroup prefilter → exact semi-join on the maybe-seen
+        slice → join back); this drops the marked rows instead of
+        counting them. Confirmed hits are unique per url, so the join
+        back never multiplies duplicate candidates."""
+        flag = "_member"
+        return (
+            self.mark_unseen(candidates, url_col, flag)
+            .filter(~F.col(flag))
+            .drop(flag)
         )
 
     def mark_unseen(
@@ -241,6 +264,7 @@ class SeenSet:
         table pointers back to the last complete round, so a replayed
         half-round can never double-append (its orphan dir is
         unreachable from the restored snapshot)."""
+        self._record_geometry()
         rows = (
             urls.select(F.col(url_col).alias("url_canon"))
             .dropDuplicates(["url_canon"])

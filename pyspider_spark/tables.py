@@ -254,6 +254,11 @@ class TableStore:
         at 10^10-URL scale that fixed cost is exactly what bounds round
         frequency. Readers can't tell the difference (same schema, same
         dir layout, same snapshot semantics)."""
+        return self._commit_append(name, self._write_rows_datadir(name, rows, schema))
+
+    def _write_rows_datadir(self, name: str, rows: list[dict], schema) -> str:
+        """Driver-held rows → one parquet data dir via pyarrow (the
+        shared no-Spark-job write path of append_rows/overwrite_rows)."""
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -263,7 +268,7 @@ class TableStore:
         d = os.path.join(self.root, name, f"data-{uuid.uuid4().hex}")
         os.makedirs(d)
         pq.write_table(table, os.path.join(d, "part-00000.parquet"))
-        return self._commit_append(name, d)
+        return d
 
     def _commit_append(self, name: str, d: str) -> int:
         m = self._load_manifest(name)
@@ -281,26 +286,16 @@ class TableStore:
 
     def overwrite(self, name: str, df: DataFrame) -> int:
         """New snapshot replaces all data (compaction / frontier rewrite)."""
-        m = self._load_manifest(name)
-        d = self._write_datadir(name, df)
-        sid = self._next_sid(m)
-        m["snapshots"].append({"id": sid, "op": "overwrite", "dirs": [d]})
-        m["current"] = sid
-        self._commit_manifest(name, m)
-        return sid
+        return self._commit_overwrite(name, self._write_datadir(name, df))
 
     def overwrite_rows(self, name: str, rows: list[dict], schema) -> int:
         """Overwrite with DRIVER-HELD rows (bootstrap config/robots
         dims) — pyarrow write, no Spark job (see append_rows)."""
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
+        return self._commit_overwrite(
+            name, self._write_rows_datadir(name, rows, schema)
+        )
 
-        arrow_schema = to_arrow_schema(schema)
-        cols = {f.name: [r.get(f.name) for r in rows] for f in schema.fields}
-        table = pa.Table.from_pydict(cols, schema=arrow_schema)
-        d = os.path.join(self.root, name, f"data-{uuid.uuid4().hex}")
-        os.makedirs(d)
-        pq.write_table(table, os.path.join(d, "part-00000.parquet"))
+    def _commit_overwrite(self, name: str, d: str) -> int:
         m = self._load_manifest(name)
         sid = self._next_sid(m)
         m["snapshots"].append({"id": sid, "op": "overwrite", "dirs": [d]})

@@ -99,3 +99,88 @@ def test_resume_on_fresh_dir_bootstraps(spark, tmp_path_factory):
     stats = eng.run(max_rounds=2, resume=True)
     assert len(stats) == 2
     assert stats[0].popped > 0
+
+
+def test_fresh_run_on_used_workdir_refuses(runs, spark):
+    """run(resume=False) on a workdir holding a crawl ledger must raise:
+    bootstrap only resets config/robots/frontier, so the stale
+    tomb/enqueued state would silently anti-join every new seed away
+    (an empty crawl with no error)."""
+    eng_a, _eng_b = runs
+    fresh = CrawlEngine(spark, eng_a.workdir, SPEC, n_seen_partitions=4)
+    with pytest.raises(ValueError, match="already holds a crawl ledger"):
+        fresh.run(max_rounds=2)
+
+
+def test_seen_geometry_pinned_per_workdir(runs, spark):
+    """The seen set's partition count / bloom bits are persistent
+    properties of the stored blobs: reopening with different values
+    must raise instead of silently breaking dedup (a seen URL would
+    probe a blob that never contained it and re-crawl)."""
+    eng_a, _eng_b = runs
+    wd_a = eng_a.workdir
+    with pytest.raises(ValueError, match="n_partitions"):
+        CrawlEngine(spark, wd_a, SPEC, n_seen_partitions=8)
+    # bloom off -> on is also unsafe: rows added while off have no
+    # blobs, and a missing blob reads as 'definitely new'
+    from pyspider_spark.seen import SeenSet
+    from pyspider_spark.tables import TableStore
+
+    store = TableStore(spark, wd_a)
+    no_bloom = SeenSet(store, n_partitions=4, use_bloom=False, table="aux",
+                       filters_table="aux_filters")
+    no_bloom.add(spark.createDataFrame([("https://h/x",)], ["url_canon"]), 0,
+                 assume_new=True)
+    with pytest.raises(ValueError, match="use_bloom"):
+        SeenSet(store, n_partitions=4, use_bloom=True, table="aux",
+                filters_table="aux_filters")
+
+
+def test_ledger_jsonl_torn_tail_and_legacy(runs, spark, tmp_path):
+    """The round ledger is JSONL with O(1) appends: a torn final line
+    (crash mid-append) reads as 'round not committed'; a legacy
+    whole-array ledger is still readable and migrates on next append."""
+    import json
+
+    eng_a, _eng_b = runs
+    ledger = eng_a._read_ledger()
+    assert ledger and ledger[-1]["round"] == ROUNDS - 1
+    # torn tail: append garbage half-line; reader must drop it
+    with open(eng_a._ledger_path, "a") as f:
+        f.write('{"round": 99, "snap')
+    assert eng_a._read_ledger() == ledger
+    # legacy array format: same entries readable, migrated on append
+    legacy_path = str(tmp_path / "rounds.json")
+    with open(legacy_path, "w") as f:
+        json.dump(ledger[:2], f)
+    probe = CrawlEngine(spark, str(tmp_path), SPEC, n_seen_partitions=4)
+    probe._ledger_path = legacy_path
+    assert probe._read_ledger() == ledger[:2]
+    probe._append_ledger(ledger[2])
+    assert probe._read_ledger() == ledger[:3]
+    with open(legacy_path) as f:
+        assert f.read(1) != "["  # migrated to JSONL
+
+
+def test_ingest_survives_crash_resume(spark, tmp_path_factory):
+    """URLs ingested between rounds (S10 seed-source path) must survive
+    a crash before the next round completes: ingest_urls pins its
+    appends in the ledger, so resume rolls back TO the ingest, not past
+    it (the source may have committed its offsets on our return)."""
+    wd = str(tmp_path_factory.mktemp("ingest_crash"))
+    eng = CrawlEngine(spark, wd, SPEC, n_seen_partitions=4)
+    eng.run(max_rounds=2)
+    novel = ["https://ingested.example/a", "https://ingested.example/b"]
+    n = eng.ingest_urls(
+        spark.createDataFrame([(u,) for u in novel], ["url"]), next_round=2
+    )
+    assert n == 2
+    # crash before round 2 runs; a FRESH engine resumes
+    eng2 = CrawlEngine(spark, wd, SPEC, n_seen_partitions=4)
+    last = eng2.restore_to_ledger()
+    assert last == 1
+    frontier_urls = {
+        r.url_canon
+        for r in eng2.store.read_or_empty("frontier", FRONTIER).collect()
+    }
+    assert set(novel) <= frontier_urls, "resume rolled back past the ingest"
