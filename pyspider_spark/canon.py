@@ -29,11 +29,16 @@ def canonicalize_url(url: str) -> str:
     to '/'."""
     try:
         s = urlsplit(url.strip())
+        # s.port PARSES lazily and raises on out-of-range/garbage ports
+        # ("http://h:99999/") — it must stay inside this guard or one
+        # hostile link kills the whole Arrow batch's task
+        host = s.hostname.lower() if s.hostname else ""
+        port = s.port
     except ValueError:
         return url.strip()
     scheme = s.scheme.lower()
-    host = s.hostname.lower() if s.hostname else ""
-    port = s.port
+    if ":" in host:  # IPv6 literal: urlsplit strips the brackets
+        host = f"[{host}]"
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"

@@ -44,39 +44,54 @@ _AUTOCLOSE = {
 
 class Node:
     """Minimal DOM node with the BeautifulSoup-ish surface the
-    reference's parse callbacks use."""
+    reference's parse callbacks use. ``content`` holds text runs and
+    child elements INTERLEAVED in document order (so .text() matches
+    the page, not a direct-text-first scramble); ``children`` is the
+    element-only view for find/find_all."""
 
-    __slots__ = ("tag", "attrs", "children", "parent", "_text")
+    __slots__ = ("tag", "attrs", "children", "parent", "content")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Node | None"):
         self.tag = tag
         self.attrs = attrs
         self.children: list[Node] = []
         self.parent = parent
-        self._text: list[str] = []
+        self.content: list["Node | str"] = []
 
     # ---- BS4-ish API ------------------------------------------------
     def get(self, attr: str, default=None):
         return self.attrs.get(attr, default)
 
     @property
+    def _direct_text(self) -> str:
+        return "".join(c for c in self.content if isinstance(c, str))
+
+    @property
     def string(self) -> str | None:
-        """Own text content (direct text, stripped) — '' stays None-ish
-        like BS4's .string on empty elements."""
-        t = "".join(self._text).strip()
-        return t if t else None
+        """BS4 ``.string`` semantics: the node's own text when it has no
+        element children; recurse through a lone element child; None on
+        mixed/multi-child content (callers then fall back to .text()).
+        An earlier revision returned the PARTIAL direct text of a mixed
+        node ('<b>$5</b>.99' -> '.99'), silently corrupting fields."""
+        if not self.children:
+            t = self._direct_text.strip()
+            return t if t else None
+        if len(self.children) == 1 and not self._direct_text.strip():
+            return self.children[0].string
+        return None
 
     def text(self) -> str:
-        """All descendant text, concatenated (iterative pre-order — a
-        hostile page nested thousands of tags deep must not overflow
-        the recursion limit; same output as the recursive fold since
-        direct text lumps ahead of child text at every level)."""
-        parts = []
-        stack = [self]
+        """All descendant text in DOCUMENT ORDER (iterative — a hostile
+        page nested thousands of tags deep must not overflow the
+        recursion limit)."""
+        parts: list[str] = []
+        stack: list[Node | str] = [self]
         while stack:
             n = stack.pop()
-            parts.append("".join(n._text))
-            stack.extend(reversed(n.children))
+            if isinstance(n, str):
+                parts.append(n)
+                continue
+            stack.extend(reversed(n.content))
         return "".join(parts)
 
     def _matches(self, tag: str | None, attrs: dict | None) -> bool:
@@ -121,20 +136,32 @@ class _TreeBuilder(HTMLParser):
         self.root = Node("[document]", {}, None)
         self.cur = self.root
 
+    @staticmethod
+    def _attr_dict(attrs) -> dict[str, str]:
+        # FIRST occurrence wins on duplicate attributes — browser and
+        # BS4 semantics (<a href="/real" href="/evil"> follows /real)
+        out: dict[str, str] = {}
+        for k, v in attrs:
+            out.setdefault(k.lower(), v if v is not None else "")
+        return out
+
+    def _attach(self, node: Node) -> None:
+        self.cur.children.append(node)
+        self.cur.content.append(node)
+
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
         # implicit close (tag soup tolerance)
         while self.cur is not self.root and tag in _AUTOCLOSE.get(self.cur.tag, ()):
             self.cur = self.cur.parent
-        node = Node(tag, {k.lower(): (v if v is not None else "") for k, v in attrs}, self.cur)
-        self.cur.children.append(node)
+        node = Node(tag, self._attr_dict(attrs), self.cur)
+        self._attach(node)
         if tag not in VOID_TAGS:
             self.cur = node
 
     def handle_startendtag(self, tag, attrs):
-        tag = tag.lower()
-        node = Node(tag, {k.lower(): (v if v is not None else "") for k, v in attrs}, self.cur)
-        self.cur.children.append(node)
+        node = Node(tag.lower(), self._attr_dict(attrs), self.cur)
+        self._attach(node)
 
     def handle_endtag(self, tag):
         tag = tag.lower()
@@ -147,7 +174,7 @@ class _TreeBuilder(HTMLParser):
             n = n.parent
 
     def handle_data(self, data):
-        self.cur._text.append(data)
+        self.cur.content.append(data)
 
 
 def parse_html(text: str | None) -> Node:
@@ -163,15 +190,33 @@ def parse_html(text: str | None) -> Node:
 
 
 # --------------------------------------------------------------- batch API
-def links_batch(bodies: pd.Series) -> pd.Series:
+def links_batch(bodies: pd.Series, bases: pd.Series | None = None) -> pd.Series:
     """Per-document link harvest: every <a href> and <img src> value, in
     document order (the reference's link fan-out, Q9). Batch-shaped for
-    mapInPandas."""
+    mapInPandas.
+
+    ``bases`` (the page URLs) resolves relative hrefs against the page
+    — real pages link '/detail/5' and '../x', and an unresolved
+    relative string would enter the frontier host-less and unfetchable
+    while the true target is never enqueued. Absolute hrefs pass
+    through urljoin unchanged (the synthetic-corpus byte-identity gate
+    stays exact)."""
+    from urllib.parse import urljoin
+
     out = []
-    for body in bodies:
+    base_list = list(bases) if bases is not None else [None] * len(bodies)
+    for body, base in zip(bodies, base_list):
         root = parse_html(body)
         links = [a.attrs["href"] for a in root.find_all("a") if "href" in a.attrs]
         links += [i.attrs["src"] for i in root.find_all("img") if "src" in i.attrs]
+        if base:
+            resolved = []
+            for u in links:
+                try:
+                    resolved.append(urljoin(base, u))
+                except ValueError:  # hostile href; keep raw, vetting drops it
+                    resolved.append(u)
+            links = resolved
         out.append(links)
     return pd.Series(out, index=bodies.index, dtype=object)
 

@@ -95,16 +95,21 @@ def robots_mark(ready: DataFrame, robots: DataFrame) -> DataFrame:
     """Add a ``_blk`` flag instead of splitting — lets the caller carry
     blocked rows through the pop ranking (sorted last, never popped) so
     one materialization serves the popped/deferred/blocked counters."""
-    dis = robots.filter(~F.col("allow")).select(
-        F.col("host").alias("_rhost"), F.col("path_prefix").alias("_rpfx")
+    # ONE dim row per host (prefixes aggregated into an array): a plain
+    # prefix-join would emit one row per MATCHING rule, so a URL under
+    # two overlapping disallows (/priv + /private/) would duplicate —
+    # inflating the blocked/deduped counters and the blocked split.
+    dis = (
+        robots.filter(~F.col("allow"))
+        .groupBy(F.col("host").alias("_rhost"))
+        .agg(F.collect_list("path_prefix").alias("_rpfx"))
     )
     path = F.regexp_replace(F.col("url_canon"), r"^[a-z]+://[^/]+", "")
     joined = ready.join(
-        F.broadcast(dis),
-        (F.col("host") == F.col("_rhost")) & path.startswith(F.col("_rpfx")),
-        "left_outer",
+        F.broadcast(dis), F.col("host") == F.col("_rhost"), "left_outer"
     )
-    return joined.withColumn("_blk", F.col("_rhost").isNotNull()).drop(
+    blk = F.exists("_rpfx", lambda pfx: path.startswith(pfx))
+    return joined.withColumn("_blk", F.coalesce(blk, F.lit(False))).drop(
         "_rhost", "_rpfx"
     )
 
@@ -190,15 +195,13 @@ def apply_global_budget(ranked: DataFrame, global_budget: int) -> DataFrame:
     Pass an already-persisted ``ranked`` (the engine does) so the tiny
     threshold job reads the cache instead of recomputing the ranking
     windows."""
+    if global_budget <= 0:
+        # a None threshold below means "no qualifying rows" (cap moot);
+        # budget 0 must mean the opposite — nothing pops
+        return ranked.withColumn("_pop", F.lit(False))
     thr_row = (
         ranked.filter(F.col("_pop"))
-        .select(
-            F.struct(
-                (-F.col("priority")).alias("p"),
-                F.col("exetime").alias("e"),
-                F.col("url_canon").alias("u"),
-            ).alias("_k")
-        )
+        .select(_pop_key().alias("_k"))  # long-negated priority: INT_MIN-safe
         .orderBy("_k")
         .limit(global_budget)
         .agg(F.max("_k").alias("_thr"))

@@ -84,10 +84,12 @@ _IMG_RE = r'<img src="([^"]+)"'
 
 
 def jsonp_unwrap(body):
-    """P1: fixed-width wrapper strip, then parse (``data[len(prefix):-2]``)."""
-    return F.expr(
-        f"substring(body, {len(JSONP_PREFIX) + 1}, "
-        f"length(body) - {len(JSONP_PREFIX) + len(JSONP_SUFFIX)})"
+    """P1: fixed-width wrapper strip, then parse (``data[len(prefix):-2]``).
+    Operates on the PASSED column (substr with Column args), so it
+    composes — e.g. over a repaired or differently-named body column."""
+    return body.substr(
+        F.lit(len(JSONP_PREFIX) + 1),
+        F.length(body) - F.lit(len(JSONP_PREFIX) + len(JSONP_SUFFIX)),
     )
 
 
@@ -245,7 +247,8 @@ def links_from_list_html(ok: DataFrame) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            links = links_batch(pdf["body"])
+            # parent IS the page url: relative hrefs resolve against it
+            links = links_batch(pdf["body"], bases=pdf["parent"])
             out = pd.DataFrame(
                 {"parent": pdf["parent"], "url": links}
             ).explode("url").dropna(subset=["url"])

@@ -28,7 +28,7 @@ spiders/amazon/crawl_goods_list.py:50-52): 5% HTTP 500 (retryable),
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .hashing import h64, hid
 

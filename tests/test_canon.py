@@ -60,3 +60,21 @@ def test_properties(scheme, host, path, params, frag):
     assert sorted(kv) == sorted(params)
     # non-empty path
     assert s.path.startswith("/")
+
+
+def test_hostile_ports_never_raise():
+    """s.port parses lazily and raises on garbage — one hostile link
+    must not kill the Arrow batch (ValueError guards the whole parse)."""
+    from pyspider_spark.canon import canonicalize_url as c
+
+    assert c("http://example.com:99999/x") == "http://example.com:99999/x"
+    assert c("http://h:8x/") == "http://h:8x/"
+
+
+def test_ipv6_brackets_preserved_and_idempotent():
+    from pyspider_spark.canon import canonicalize_url as c
+
+    got = c("https://[::1]:8080/x")
+    assert got == "https://[::1]:8080/x"
+    assert c(got) == got
+    assert c("https://[2001:DB8::1]/y") == "https://[2001:db8::1]/y"

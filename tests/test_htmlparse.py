@@ -183,3 +183,34 @@ def test_html_parser_engine_byte_identical(spark, tmp_path_factory):
     b.run(max_rounds=3)
     for t, s in [("seen", SEEN), ("items", ITEMS), ("images", IMAGES), ("metrics", METRICS)]:
         assert digest(a, t, s) == digest(b, t, s), t
+
+
+def test_mixed_content_string_and_text_order():
+    """BS4 .string semantics on mixed content (None, never partial
+    direct text) and document-order .text() — '<b>$5</b>.99' must
+    extract '$5.99', not '.99' or '.99$5'."""
+    root = H.parse_html('<span id="p"><b>$5</b>.99</span>')
+    span = root.find("span", {"id": "p"})
+    assert span.string is None
+    assert span.text() == "$5.99"
+    # lone-child recursion like BS4
+    lone = H.parse_html('<span id="q"><b>only</b></span>').find("span", {"id": "q"})
+    assert lone.string == "only"
+
+
+def test_duplicate_attribute_first_wins():
+    root = H.parse_html('<a href="/real" href="/evil">x</a>')
+    assert root.find("a").get("href") == "/real"
+
+
+def test_links_resolve_relative_against_base():
+    body = ('<a href="/detail/5">x</a><a href="https://other.example/abs">y</a>'
+            '<img src="../img/i1">')
+    (links,) = H.links_batch(
+        pd.Series([body]), pd.Series(["https://host0.example/list/0/page/2"])
+    )
+    assert links == [
+        "https://host0.example/detail/5",
+        "https://other.example/abs",
+        "https://host0.example/list/0/img/i1",
+    ]

@@ -201,3 +201,53 @@ def test_popped_via_thresholds_matches_rank_adaptive(spark):
         # full-width rows survive intact
         assert set(got_rows[0].asDict()) == set(df.columns)
     assert not any(u.startswith("https://hz/") for u in got)
+
+
+def test_global_budget_zero_pops_nothing(spark):
+    """budget=0 must cap to zero rows, not fall through the None
+    threshold (which means 'no qualifying rows') and pop everything."""
+    from pyspider_spark import scheduler
+
+    ranked = spark.createDataFrame(
+        [("https://h/a", "h", 5, 0, True), ("https://h/b", "h", 4, 0, True)],
+        "url_canon string, host string, priority int, exetime long, _pop boolean",
+    )
+    out = scheduler.apply_global_budget(ranked, 0)
+    assert out.filter("_pop").count() == 0
+
+
+def test_global_budget_int_min_priority(spark):
+    """INT_MIN priority negates through long in the threshold probe —
+    the same overflow _pop_key/dedup_batch already guard."""
+    from pyspider_spark import scheduler
+
+    rows = [
+        ("https://h/best", "h", 2**31 - 1, 0, True),
+        ("https://h/worst", "h", -(2**31), 0, True),
+    ]
+    ranked = spark.createDataFrame(
+        rows,
+        "url_canon string, host string, priority int, exetime long, _pop boolean",
+    )
+    out = scheduler.apply_global_budget(ranked, 1)
+    popped = [r.url_canon for r in out.filter("_pop").collect()]
+    assert popped == ["https://h/best"]
+
+
+def test_robots_overlapping_prefixes_single_row(spark):
+    """A URL under two overlapping disallow rules must mark ONE row
+    (a rule-join would duplicate it, inflating blocked/deduped counters)."""
+    from pyspider_spark import scheduler
+    from pyspider_spark.schemas import ROBOTS
+
+    ready = spark.createDataFrame(
+        [("https://h/private/x", "h"), ("https://h/pub", "h")],
+        "url_canon string, host string",
+    )
+    robots = spark.createDataFrame(
+        [("h", "/priv", False, None), ("h", "/private/", False, None)], ROBOTS
+    )
+    marked = scheduler.robots_mark(ready, robots)
+    assert marked.count() == 2
+    got = {r.url_canon: r._blk for r in marked.collect()}
+    assert got == {"https://h/private/x": True, "https://h/pub": False}
