@@ -130,18 +130,33 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            new_bytes, new_phash = [], []
+            new_bytes, new_phash, new_w, new_h = [], [], [], []
             for rec in pdf.itertuples(index=False):
-                rgb = imaging.decode(bytes(rec.bytes), rec.fmt)
-                ys = (np.arange(out_h) * rgb.shape[0] // out_h).clip(0, rgb.shape[0] - 1)
-                xs = (np.arange(out_w) * rgb.shape[1] // out_w).clip(0, rgb.shape[1] - 1)
-                small = rgb[ys][:, xs]
-                new_bytes.append(imaging.encode(small, rec.fmt))
-                new_phash.append(imaging.phash64(small))
+                # per-row tolerance like extract_features: one null or
+                # corrupt payload must not kill the whole stage — a
+                # failed row passes through unchanged
+                try:
+                    rgb = imaging.decode(bytes(rec.bytes), rec.fmt)
+                    ys = (np.arange(out_h) * rgb.shape[0] // out_h).clip(
+                        0, rgb.shape[0] - 1
+                    )
+                    xs = (np.arange(out_w) * rgb.shape[1] // out_w).clip(
+                        0, rgb.shape[1] - 1
+                    )
+                    small = rgb[ys][:, xs]
+                    new_bytes.append(imaging.encode(small, rec.fmt))
+                    new_phash.append(imaging.phash64(small))
+                    new_w.append(out_w)
+                    new_h.append(out_h)
+                except Exception:
+                    new_bytes.append(rec.bytes)
+                    new_phash.append(rec.phash)
+                    new_w.append(rec.w)
+                    new_h.append(rec.h)
             out["bytes"] = new_bytes
             out["phash"] = new_phash
-            out["w"] = out_w
-            out["h"] = out_h
+            out["w"] = new_w
+            out["h"] = new_h
             yield out
 
     return images.mapInPandas(rz, schema=IMAGES)

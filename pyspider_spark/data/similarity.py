@@ -241,14 +241,22 @@ def ann_lsh_topk(
         .select("qid", "vid")
         .distinct()
     )
+    return _exact_rerank(cand, emb, n_queries, k)
+
+
+def _exact_rerank(
+    cand: DataFrame, emb: DataFrame, n_queries: int, k: int
+) -> DataFrame:
+    """Shared ANN tail: exact rerank of slim (qid, vid) candidates in
+    quantized basis points — integer sums + one IEEE sqrt/divide → a
+    total, engine-independent order (oracle-gated). Both ANN variants
+    return this same (qid, rank, vid, cos_bp) contract."""
     a = emb.select(
         F.col("vec_id").alias("vid"), F.expr(_quantize("embedding")).alias("av")
     )
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.expr(_quantize("embedding")).alias("qv")
     )
-    # exact rerank in quantized basis points: integer sums + one IEEE
-    # sqrt/divide → a total, engine-independent order (oracle-gated)
     exact = (
         cand.join(a, on="vid")
         .join(F.broadcast(q), on="qid")
@@ -330,6 +338,13 @@ def ann_ivf_topk(
         .orderBy("vec_id")
         .collect()  # O(√N) codebook rows — see module comment
     )
+    if not cent_rows:
+        # empty corpus / no stride hits: an empty codebook would crash
+        # the probe matmul with an opaque AxisError — return the empty
+        # result the LSH variant produces on the same input
+        return emb.sparkSession.createDataFrame(
+            [], "qid bigint, rank int, vid bigint, cos_bp bigint"
+        )
     cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
     cent_mat = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
     probe = ivf_probe_udf(cent_ids, cent_mat, nprobe)
@@ -346,25 +361,7 @@ def ann_ivf_topk(
         .select("qid", "vid")
         .distinct()
     )
-    a = emb.select(
-        F.col("vec_id").alias("vid"), F.expr(_quantize("embedding")).alias("av")
-    )
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.expr(_quantize("embedding")).alias("qv")
-    )
-    exact = (
-        cand.join(a, on="vid")
-        .join(F.broadcast(q), on="qid")
-        .select(
-            "qid", "vid", F.expr(quantized_cos_bp_expr("qv", "av")).alias("cos_bp")
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_bp"), F.asc("vid"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "vid", "cos_bp")
-    )
+    return _exact_rerank(cand, emb, n_queries, k)
 
 
 def quantized_cos_bp_expr(qa_sql: str, qb_sql: str) -> str:
@@ -387,7 +384,7 @@ def embedding_near_dup_pairs_q(emb: DataFrame, min_cos_bp: int = 9500) -> DataFr
     exact quantized-cosine verify within buckets keeps pairs at or above
     the basis-point threshold."""
     sig = emb.withColumn("qv", F.expr(_quantize("embedding"))).withColumn(
-        "sig", F.expr(lsh_signature_q_expr(_quantize("embedding")))
+        "sig", F.expr(lsh_signature_q_expr("qv"))  # one quantize, reused
     )
     l = sig.select("sig", F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"))
     r = sig.select("sig", F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"))

@@ -49,9 +49,12 @@ def token_count(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish token count: whitespace tokens + one extra piece per
-    letter↔digit transition (a cheap BPE stand-in). Counted with plain
-    regexp_extract_all so the definition is RE2-safe (no lookaround)
-    and mirrors exactly in the DuckDB oracle."""
+    NON-OVERLAPPING letter-digit (or digit-letter) pair — a cheap BPE
+    stand-in. Matches are non-overlapping by regexp_extract_all
+    semantics, so 'a1b2' counts 2 pairs (a1, b2), not 3 transitions;
+    a true transition count needs lookaround, which RE2 (the DuckDB
+    oracle's engine) does not support — this definition is the one
+    that mirrors exactly on both engines."""
     transitions = F.size(
         F.regexp_extract_all(text, F.lit(r"[a-zA-Z][0-9]|[0-9][a-zA-Z]"), F.lit(0))
     )

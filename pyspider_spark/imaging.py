@@ -127,8 +127,16 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def phash64(rgb: np.ndarray) -> int:
     """64-bit average-hash: 8x8 block-mean luma vs global mean. Returns a
-    SIGNED int64 (Spark LongType-compatible)."""
+    SIGNED int64 (Spark LongType-compatible). Images smaller than 8px
+    on a side (tracking pixels, icons — common on real pages) stretch
+    by pixel repetition first; values for >=8px images are unchanged."""
     luma = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    if luma.size == 0:
+        return 0
+    if luma.shape[0] < 8:
+        luma = np.repeat(luma, -(-8 // luma.shape[0]), axis=0)
+    if luma.shape[1] < 8:
+        luma = np.repeat(luma, -(-8 // luma.shape[1]), axis=1)
     h, w = luma.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     blocks = luma[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))

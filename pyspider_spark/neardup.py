@@ -47,12 +47,15 @@ geometry (4, 16) or (2, 32).
 
 from __future__ import annotations
 
+import json
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .seen import bloom_build, bloom_maybe_contains
+from .seen import bloom_build, bloom_maybe_contains, bloom_merge
 
 N_BANDS = 8
 BAND_BITS = 8
@@ -118,14 +121,7 @@ def build_band_bloom(images: DataFrame, n_bits: int = PHASH_BLOOM_BITS) -> bytes
     blobs = keys.mapInPandas(
         build, schema=T.StructType([T.StructField("blob", T.BinaryType())])
     ).collect()
-    if not blobs:
-        return b"\x00" * (n_bits // 8)
-    import numpy as np
-
-    acc = np.zeros(n_bits // 8, dtype=np.uint8)
-    for r in blobs:
-        acc |= np.frombuffer(r.blob, dtype=np.uint8)
-    return acc.tobytes()
+    return bloom_merge([r.blob for r in blobs], n_bits)
 
 
 def bloom_prefilter(new_images: DataFrame, blob: bytes, n_bits: int = PHASH_BLOOM_BITS) -> DataFrame:
@@ -216,6 +212,58 @@ class BandIndex:
         self.band_bits = band_bits
         self._BANDS = IMAGE_BANDS
         self._FILTERS = SEEN_FILTERS
+        self._validate_geometry()
+
+    # Geometry is a persistent property of the stored index (same
+    # hazard SeenSet guards): band keys like '3:255' written under
+    # (8,8) can never equal '1:65535'-style keys probed under (4,16),
+    # so a reopen with different geometry silently misses every
+    # pre-switch near-dup. Recorded on first append, validated on open.
+    def _meta_path(self) -> str:
+        return os.path.join(
+            self.store.root, "_manifests", f"{self.bands_table}_meta.json"
+        )
+
+    def _validate_geometry(self) -> None:
+        p = self._meta_path()
+        if not os.path.exists(p):
+            return
+        with open(p) as f:
+            meta = json.load(f)
+        if meta["n_bands"] != self.n_bands or meta["band_bits"] != self.band_bits:
+            raise ValueError(
+                f"{self.bands_table} was built with geometry "
+                f"({meta['n_bands']}, {meta['band_bits']}); reopening with "
+                f"({self.n_bands}, {self.band_bits}) would silently miss "
+                "every stored near-dup (switch requires a full reindex)"
+            )
+
+    def _record_geometry(self) -> None:
+        p = self._meta_path()
+        if os.path.exists(p):
+            return
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            json.dump({"n_bands": self.n_bands, "band_bits": self.band_bits}, f)
+
+    def _blob_rows(self, round_no: int):
+        """Per-pid bloom-blob row builder shared by the per-round append
+        and the compaction rebuild (one definition of the FILTERS row)."""
+        FILTERS_COLS = ["partition_id", "round", "n_items", "filter"]
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(pdf["pid"].iloc[0])
+            return pd.DataFrame(
+                {
+                    "partition_id": [pid],
+                    "round": [round_no],
+                    "n_items": [len(pdf)],
+                    "filter": [_sized_bloom(pdf["band_key"], BAND_BLOB_BITS_MIN)],
+                },
+                columns=FILTERS_COLS,
+            )
+
+        return build
 
     def _bands_of(self, images: DataFrame) -> DataFrame:
         return (
@@ -246,21 +294,11 @@ class BandIndex:
         frame: the blob build groups the SAME frame instead of
         re-reading the just-written append from disk — one fewer
         table scan per round on the crawl's hot path."""
+        self._record_geometry()
         self.store.append(self.bands_table, bands.sort("pid"))
-        FILTERS = self._FILTERS
-
-        def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            pid = int(pdf["pid"].iloc[0])
-            return pd.DataFrame(
-                {
-                    "partition_id": [pid],
-                    "round": [round_no],
-                    "n_items": [len(pdf)],
-                    "filter": [_sized_bloom(pdf["band_key"], BAND_BLOB_BITS_MIN)],
-                }
-            )
-
-        blobs = bands.groupBy("pid").applyInPandas(build, schema=FILTERS)
+        blobs = bands.groupBy("pid").applyInPandas(
+            self._blob_rows(round_no), schema=self._FILTERS
+        )
         self.store.append(self.filters_table, blobs)
 
     def has_corpus(self) -> bool:
@@ -382,20 +420,9 @@ class BandIndex:
         band rows (bounds probe cost to O(partitions) blobs and resolves
         any saturation accumulated from per-round appends)."""
         bands = self.store.read_or_empty(self.bands_table, self._BANDS)
-        FILTERS = self._FILTERS
-
-        def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
-            pid = int(pdf["pid"].iloc[0])
-            return pd.DataFrame(
-                {
-                    "partition_id": [pid],
-                    "round": [round_no],
-                    "n_items": [len(pdf)],
-                    "filter": [_sized_bloom(pdf["band_key"], BAND_BLOB_BITS_MIN)],
-                }
-            )
-
-        merged = bands.groupBy("pid").applyInPandas(rebuild, schema=FILTERS)
+        merged = bands.groupBy("pid").applyInPandas(
+            self._blob_rows(round_no), schema=self._FILTERS
+        )
         self.store.overwrite(self.filters_table, merged)
 
 

@@ -93,3 +93,12 @@ def test_ann_recall_monotone_in_tables(spark, emb):
         return hits / sum(len(v) for v in exact.values())
 
     assert recall(four) >= recall(one)
+
+
+def test_ivf_empty_corpus_returns_empty(spark):
+    """An empty embeddings frame must yield an empty result, not an
+    opaque AxisError from the probe matmul on a 1-D empty codebook."""
+    from pyspider_spark.data.similarity import ann_ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert ann_ivf_topk(empty).count() == 0

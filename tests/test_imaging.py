@@ -103,3 +103,40 @@ def test_synth_separable_matches_elementwise_reference():
             imaging.synth_image(iid, w, h), reference(iid, w, h)
         ), f"pixel mismatch for {iid} at {w}x{h}"
     assert checked_dup, "sample never hit the motif branch — widen the loop"
+
+
+def test_phash_tiny_images_no_crash():
+    """Tracking pixels and icons (h or w < 8) must hash, not crash the
+    8x8 block reshape; >=8px values are unchanged by the guard."""
+    import numpy as np
+
+    from pyspider_spark import imaging
+
+    assert isinstance(imaging.phash64(np.zeros((4, 16, 3), np.uint8)), int)
+    assert isinstance(imaging.phash64(np.full((1, 1, 3), 9, np.uint8)), int)
+    assert imaging.phash64(np.zeros((0, 0, 3), np.uint8)) == 0
+
+
+def test_resize_tolerates_corrupt_rows(spark):
+    """One null/corrupt payload must not kill the resize stage: the bad
+    row passes through unchanged, good rows resize."""
+    from pyspider_spark import imaging
+    from pyspider_spark.data.multimodal import resize_images
+    from pyspider_spark.schemas import IMAGES
+
+    rgb = imaging.synth_image("img-ok", 32, 32)
+    ok_bytes = imaging.encode(rgb, "png")
+    rows = [
+        ("img-ok", ok_bytes, 32, 32, "png", "cap", imaging.phash64(rgb)),
+        ("img-bad", None, 32, 32, "png", "cap", 7),
+        ("img-garbage", b"not an image", 32, 32, "png", "cap", 8),
+    ]
+    out = {
+        r.image_id: r
+        for r in resize_images(
+            spark.createDataFrame(rows, IMAGES), 16, 16
+        ).collect()
+    }
+    assert out["img-ok"].w == 16 and len(out["img-ok"].bytes) > 0
+    assert out["img-bad"].phash == 7 and out["img-bad"].bytes is None
+    assert out["img-garbage"].phash == 8 and bytes(out["img-garbage"].bytes) == b"not an image"

@@ -302,3 +302,25 @@ def test_fetch_cache_skips_failures_and_serves_hits(spark, tmp_path_factory):
     want = {r.url_canon: r.body for r in sample.collect()}
     assert got == want and len(got) == 5
     assert eng.store.read_or_empty("fetch_cache", FETCH_CACHE).count() == n_cache
+
+
+def test_band_index_geometry_pinned(spark, tmp_path_factory):
+    """Band-key geometry is a persistent property of the stored index:
+    keys written under (8,8) can never match keys probed under (4,16),
+    so a reopen with different geometry must raise, not silently miss
+    every stored near-dup."""
+    import pytest
+
+    from pyspider_spark import neardup
+    from pyspider_spark.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path_factory.mktemp("bandgeom")))
+    idx = neardup.BandIndex(store, n_bands=8, band_bits=8)
+    imgs = spark.createDataFrame(
+        [("i1", 12345), ("i2", 99999)], "image_id string, phash long"
+    )
+    idx.append_round_bands(idx.bands_of(imgs), 0)
+    with pytest.raises(ValueError, match="geometry"):
+        neardup.BandIndex(store, n_bands=4, band_bits=16)
+    # same geometry reopens fine
+    neardup.BandIndex(store, n_bands=8, band_bits=8)
