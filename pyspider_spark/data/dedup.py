@@ -238,7 +238,6 @@ def minhash_signature(
     reference SQL construction (minhash_signature_sql), which the
     DuckDB oracles replay."""
     assert n_minhash % n_bands == 0, "bands must tile the signature"
-    rows_per_band = n_minhash // n_bands
     sm = shingle_minhash_udf(k, n_minhash)
     df = (
         docs.withColumn("_sm", sm(F.col("text")))

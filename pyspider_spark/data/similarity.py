@@ -382,9 +382,16 @@ def embedding_near_dup_pairs_q(emb: DataFrame, min_cos_bp: int = 9500) -> DataFr
     """Embedding near-dup pairs, fully oracle-portable: integer LSH
     signatures bucket the vectors (one shuffle of slim signature rows);
     exact quantized-cosine verify within buckets keeps pairs at or above
-    the basis-point threshold."""
+    the basis-point threshold.
+
+    The signature comes from the Arrow-batched matmul
+    (all_table_sigs_udf(1, N_PLANES)), pinned bit-identical to the
+    interpreted lsh_signature_q_expr fold the DuckDB oracle replays —
+    at 10^9 vectors the 8 uncompiled aggregate(zip_with) lambda folds
+    per row were the dominant cost of the dedup pass."""
     sig = emb.withColumn("qv", F.expr(_quantize("embedding"))).withColumn(
-        "sig", F.expr(lsh_signature_q_expr("qv"))  # one quantize, reused
+        "sig",
+        F.element_at(all_table_sigs_udf(1, N_PLANES)(F.col("embedding")), 1),
     )
     l = sig.select("sig", F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"))
     r = sig.select("sig", F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"))

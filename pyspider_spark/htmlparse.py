@@ -69,15 +69,19 @@ class Node:
     @property
     def string(self) -> str | None:
         """BS4 ``.string`` semantics: the node's own text when it has no
-        element children; recurse through a lone element child; None on
+        element children; descend through a lone element child; None on
         mixed/multi-child content (callers then fall back to .text()).
         An earlier revision returned the PARTIAL direct text of a mixed
-        node ('<b>$5</b>.99' -> '.99'), silently corrupting fields."""
-        if not self.children:
-            t = self._direct_text.strip()
+        node ('<b>$5</b>.99' -> '.99'), silently corrupting fields.
+        Iterative, like text(): a hostile page nesting thousands of
+        lone-child tags must not overflow the recursion limit inside an
+        Arrow task."""
+        n = self
+        while len(n.children) == 1 and not n._direct_text.strip():
+            n = n.children[0]
+        if not n.children:
+            t = n._direct_text.strip()
             return t if t else None
-        if len(self.children) == 1 and not self._direct_text.strip():
-            return self.children[0].string
         return None
 
     def text(self) -> str:

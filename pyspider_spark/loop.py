@@ -358,7 +358,13 @@ class CrawlEngine:
         # backlog each round.
         candidates = candidates.withColumn("exetime", F.lit(r).cast("long"))
 
-        config = store.read_or_empty("config", CONFIG)
+        # robots crawl-delay caps the per-host budget (Q15): effective
+        # concurrency = min(concurrency, floor(quantum / crawl_delay)).
+        # Both dims are tiny; the fold is lazy and broadcasts below.
+        config = scheduler.effective_config(
+            store.read_or_empty("config", CONFIG),
+            store.read_or_empty("robots", ROBOTS),
+        )
         # ONE slim pre-pass over candidates serves BOTH the adaptive skew
         # guard (over-threshold host list) and the exact candidate count
         # (deferred = candidates − popped): column-pruned scan, map-side
@@ -626,7 +632,21 @@ class CrawlEngine:
         rows exactly like discovered links — canonicalize → in-batch
         dedup → enqueued-set anti-join → robots — and append survivors
         as frontier rows due at ``next_round``. Returns rows added.
-        Call between rounds; the next round's checkpoint pins them."""
+        Call between rounds; the next round's checkpoint pins them.
+
+        ``next_round`` must be the round that will actually run next:
+        the ledger entry below is pinned at ``next_round - 1``, and a
+        gap would make resume read rounds as completed that never ran
+        (silently skipping them)."""
+        last = self.last_completed_round()
+        expected = 0 if last is None else last + 1
+        if next_round != expected:
+            raise ValueError(
+                f"ingest_urls(next_round={next_round}) out of sequence: "
+                f"last completed round is {last}, expected next_round="
+                f"{expected} (a gap would mark unrun rounds completed "
+                "in the ledger and resume would skip them)"
+            )
         cols = urls.columns
         links = urls
         if "parent" not in cols:

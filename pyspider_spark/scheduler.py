@@ -114,6 +114,41 @@ def robots_mark(ready: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
+ROUND_QUANTUM_S = 60.0  # wall-clock a scheduling round models; a robots
+# crawl-delay of D seconds therefore permits at most floor(quantum / D)
+# fetches from that host per round
+
+
+def effective_config(config: DataFrame, robots: DataFrame) -> DataFrame:
+    """Fold robots ``crawl_delay_s`` into the per-host budget (Q15
+    completion — north-rule robots contract, BASELINE.json north_rule):
+    effective concurrency = min(concurrency, floor(ROUND_QUANTUM_S /
+    max crawl_delay over the host's rules)). Rows a reduced budget
+    leaves behind stay in the frontier and are counted under the
+    existing politeness-deferral counter — delay enforcement writes
+    nothing, exactly like budget deferral. Dim-dim join over two tiny
+    broadcast tables; the result broadcasts downstream unchanged."""
+    delays = (
+        robots.filter(F.col("crawl_delay_s").isNotNull())
+        .groupBy(F.col("host").alias("_dhost"))
+        .agg(F.max("crawl_delay_s").alias("_delay"))
+    )
+    cap = F.floor(F.lit(ROUND_QUANTUM_S) / F.col("_delay")).cast("int")
+    return (
+        config.join(
+            F.broadcast(delays), F.col("host") == F.col("_dhost"), "left_outer"
+        )
+        .withColumn(
+            "concurrency",
+            F.when(
+                F.col("_delay").isNotNull(),
+                F.least(F.col("concurrency"), cap),
+            ).otherwise(F.col("concurrency")),
+        )
+        .drop("_dhost", "_delay")
+    )
+
+
 BIG_HOST_ROWS = 100_000  # backlog size above which a host takes the salted path
 
 

@@ -137,14 +137,32 @@ def drain_seeds_into_engine(seed_stream: DataFrame, engine, next_round: int) -> 
     return sum(added)
 
 
+def _plan_has_aggregate(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan contains a Catalyst Aggregate
+    node (class check node-by-node, not a plan-string grep)."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Aggregate":
+            return True
+        it = node.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+    return False
+
+
 def run_once_to_memory(stream_df: DataFrame, query_name: str):
     """Drain everything currently on disk into an in-memory table
     (availableNow trigger) and return the finished query handle.
 
     Output mode is chosen from the plan: aggregated streams need
     ``complete`` (memory sink keeps the full result), raw table tails
-    need ``append`` (Spark rejects complete without an aggregation)."""
-    aggregated = "Aggregate" in stream_df._jdf.queryExecution().analyzed().toString()
+    need ``append`` (Spark rejects complete without an aggregation).
+    Detection walks the analyzed logical plan for an actual Aggregate
+    node — a substring match on the rendered plan would false-positive
+    on e.g. a column literally named 'Aggregate_x' and flip a raw tail
+    into (rejected) complete mode."""
+    aggregated = _plan_has_aggregate(stream_df)
     q = (
         stream_df.writeStream.outputMode("complete" if aggregated else "append")
         .format("memory")

@@ -60,6 +60,13 @@ class GraphSpec:
     sales_chunk_size: int = 50        # Q12: sku ids merged per batch sales
                                       # request (ref jingxi_category_sales
                                       # .py:112-118 chunks 50 ids)
+    crawl_delay_host0: float | None = 5.0  # robots Crawl-delay on host0's
+                                      # rule (Q15). Effective per-round cap =
+                                      # floor(ROUND_QUANTUM_S/delay); the 5.0
+                                      # default caps at 12 ≥ host0's
+                                      # concurrency 10, so the default spec's
+                                      # pop set is delay-unconstrained —
+                                      # tests raise it to force deferral
 
     def host(self, h: int) -> str:
         return f"host{h}.example"
@@ -346,7 +353,8 @@ def config_rows(spec: GraphSpec) -> list[dict]:
 
 
 def robots_rows(spec: GraphSpec) -> list[dict]:
-    """Disallow /private/ on every host (north-rule robots; FIXTURES.md §5)."""
+    """Disallow /private/ on every host; host0 (the polite host) also
+    carries a Crawl-delay (north-rule robots; FIXTURES.md §5)."""
     rows = []
     for h in range(spec.n_hosts):
         rows.append(
@@ -354,7 +362,7 @@ def robots_rows(spec: GraphSpec) -> list[dict]:
                 "host": spec.host(h),
                 "path_prefix": "/private/",
                 "allow": False,
-                "crawl_delay_s": None,
+                "crawl_delay_s": spec.crawl_delay_host0 if h == 0 else None,
             }
         )
     return rows

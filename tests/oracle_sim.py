@@ -42,6 +42,13 @@ class Row:
     lineage: str | None = None
 
 
+def scheduler_quantum() -> float:
+    """Independent restatement of scheduler.ROUND_QUANTUM_S (60 s per
+    scheduling round) — kept literal here so the oracle stays free of
+    Spark imports; test_scheduler_units pins the two values equal."""
+    return 60.0
+
+
 def _path_of(url_canon: str) -> str:
     rest = url_canon.split("://", 1)[-1]
     i = rest.find("/")
@@ -64,10 +71,22 @@ class OracleEngine:
     metrics: dict[int, dict] = field(default_factory=dict)
 
     def _budget(self, host: str) -> int:
+        b = 20
         for c in synth.config_rows(self.spec):
             if c["host"] == host:
-                return c["concurrency"]
-        return 20
+                b = c["concurrency"]
+                break
+        # robots Crawl-delay caps the per-round budget (Q15): effective
+        # concurrency = min(concurrency, floor(quantum / max delay)) —
+        # mirrors scheduler.effective_config bit-for-bit.
+        delays = [
+            r["crawl_delay_s"]
+            for r in synth.robots_rows(self.spec)
+            if r["host"] == host and r["crawl_delay_s"] is not None
+        ]
+        if delays:
+            b = min(b, int(scheduler_quantum() // max(delays)))
+        return b
 
     def _disallowed(self, host: str, path: str) -> bool:
         for r in synth.robots_rows(self.spec):

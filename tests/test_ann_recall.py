@@ -40,28 +40,36 @@ def test_ann_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.4, f"ANN recall {recall:.2f} vs bruteforce too low"
 
 
-def test_vectorized_sigs_match_sql_fold(spark, emb):
+@pytest.mark.parametrize(
+    "n_tables,n_planes",
+    [
+        (8, 4),  # the ANN search geometry (N_TABLES x ANN_PLANES)
+        (1, 8),  # the near-dup geometry (embedding_near_dup_pairs_q)
+    ],
+)
+def test_vectorized_sigs_match_sql_fold(spark, emb, n_tables, n_planes):
     """The Arrow-batched matmul signature path (similarity.
     all_table_sigs_udf — the 10^9-vector hot loop) must produce the
     EXACT integers of the interpreted SQL fold it replaced
-    (lsh_signature_q_expr, which the DuckDB oracle mirrors)."""
+    (lsh_signature_q_expr, which the DuckDB oracle mirrors) — at both
+    geometries that ride it (ANN search and embedding near-dup)."""
     from pyspark.sql import functions as F
 
     sql_sigs = emb.select(
         "vec_id",
         *[
             F.expr(
-                S.lsh_signature_q_expr(S._quantize("embedding"), t, S.ANN_PLANES)
+                S.lsh_signature_q_expr(S._quantize("embedding"), t, n_planes)
             ).alias(f"s{t}")
-            for t in range(S.N_TABLES)
+            for t in range(n_tables)
         ],
     )
     vec_sigs = emb.select(
         "vec_id",
-        S.all_table_sigs_udf(S.N_TABLES, S.ANN_PLANES)(F.col("embedding")).alias("a"),
+        S.all_table_sigs_udf(n_tables, n_planes)(F.col("embedding")).alias("a"),
     ).select(
         "vec_id",
-        *[F.element_at("a", t + 1).alias(f"s{t}") for t in range(S.N_TABLES)],
+        *[F.element_at("a", t + 1).alias(f"s{t}") for t in range(n_tables)],
     )
     assert sql_sigs.exceptAll(vec_sigs).count() == 0
     assert vec_sigs.exceptAll(sql_sigs).count() == 0

@@ -165,3 +165,51 @@ def test_global_budget_metrics_match(budgeted_runs):
     for s in stats:
         if s.round in o.metrics:
             assert s.__dict__ == o.metrics[s.round], f"round {s.round}"
+
+
+@pytest.fixture(scope="module")
+def delayed_runs(spark, tmp_path_factory):
+    """Engine + oracle with a CONSTRAINING robots crawl-delay on host0
+    (Q15): 30s delay → floor(60/30) = 2 pops/round, far under host0's
+    concurrency 10, so the delay — not the budget — limits the host."""
+    spec = GraphSpec(n_hosts=3, chains_per_host=2, crawl_delay_host0=30.0)
+    wd = str(tmp_path_factory.mktemp("crawl_delay"))
+    eng = CrawlEngine(
+        spark, wd, spec, n_seen_partitions=8, use_bloom=True,
+        collect_pop_sequence=True,
+    )
+    stats = eng.run(max_rounds=5)
+    o = OracleEngine(spec)
+    o.run(max_rounds=5)
+    return eng, stats, o
+
+
+def test_crawl_delay_pop_sequences_match(delayed_runs):
+    eng, _, o = delayed_runs
+    for r, seq in eng.pop_sequences.items():
+        assert seq == o.pop_sequences[r], f"round {r} pop order diverged"
+
+
+def test_crawl_delay_metrics_match(delayed_runs):
+    _, stats, o = delayed_runs
+    for s in stats:
+        if s.round in o.metrics:
+            assert s.__dict__ == o.metrics[s.round], f"round {s.round}"
+
+
+def test_crawl_delay_actually_constrains(delayed_runs):
+    """host0 never exceeds 2 pops/round, and at least one round defers
+    host0 work it would have popped at concurrency 10 — i.e. the delay
+    path is live, not vacuously green."""
+    eng, _, o = delayed_runs
+    host0_per_round = {
+        r: sum("host0.example" in u for u in seq)
+        for r, seq in eng.pop_sequences.items()
+    }
+    assert all(n <= 2 for n in host0_per_round.values())
+    assert any(n == 2 for n in host0_per_round.values()), (
+        "delay cap never reached — fixture too small to exercise Q15"
+    )
+    assert any(
+        m["deferred_politeness"] > 0 for m in o.metrics.values()
+    ), "no politeness deferral observed under the crawl delay"

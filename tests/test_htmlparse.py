@@ -128,6 +128,21 @@ def test_nesting_and_entity_bombs_no_crash():
         assert out["price"].tolist() == [""]
 
 
+def test_deep_lone_child_string_no_recursion():
+    """.string descends lone-child chains ITERATIVELY: a hostile page
+    nesting 5000 single-child tags inside a selected node must yield
+    the leaf text, not a RecursionError inside an Arrow task (the
+    detail_items_html 'string' extraction path)."""
+    deep = "<span>" * 5000 + "x" + "</span>" * 5000
+    root = H.parse_html(f"<div id='f'>{deep}</div>")
+    node = root.find("div", {"id": "f"})
+    assert node.string == "x"
+    # mixed/multi-child still yields None at the end of the chain
+    root2 = H.parse_html("<div id='f'>" + "<span>" * 3000 + "<b>a</b><i>b</i>"
+                         + "</span>" * 3000 + "</div>")
+    assert root2.find("div", {"id": "f"}).string is None
+
+
 def test_fuzz_malformed_pages_never_raise():
     """1k deterministic malformed samples (tag soup, truncated tags,
     stray brackets, comments/CDATA/PIs, mixed-encoding bytes, null

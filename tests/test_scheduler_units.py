@@ -91,6 +91,48 @@ def test_robots_filter(spark):
     }
 
 
+def test_crawl_delay_caps_budget(spark):
+    """Q15 crawl-delay: a host whose robots rule carries crawl_delay_s
+    pops at most floor(ROUND_QUANTUM_S / delay) rows per round even
+    when config.concurrency allows more; undelayed hosts keep their
+    full budget; rows left behind are deferred, not dropped."""
+    rows = [(f"https://slow/u{i}", "slow", 5, 0) for i in range(10)]
+    rows += [(f"https://fast/u{i}", "fast", 5, 0) for i in range(10)]
+    df = frontier_rows(spark, rows)
+    mk_cfg = lambda h: {
+        "host": h, "concurrency": 8, "delay_s": 0.0, "timeout_s": 1.0,
+        "max_retries": 3, "pop_budget": 100,
+    }
+    config = spark.createDataFrame([mk_cfg("slow"), mk_cfg("fast")], CONFIG)
+    robots = spark.createDataFrame(
+        [
+            # two rules on the delayed host: the MAX delay wins (20s →
+            # floor(60/20) = 3), and a delay-free rule must not reset it
+            {"host": "slow", "path_prefix": "/private/", "allow": False,
+             "crawl_delay_s": 20.0},
+            {"host": "slow", "path_prefix": "/tmp/", "allow": False,
+             "crawl_delay_s": 5.0},
+            {"host": "fast", "path_prefix": "/private/", "allow": False,
+             "crawl_delay_s": None},
+        ],
+        ROBOTS,
+    )
+    eff = scheduler.effective_config(config, robots)
+    popped, deferred = scheduler.pop(df, eff, round_no=0)
+    by_host = {r["host"]: r["count"] for r in popped.groupBy("host").count().collect()}
+    assert by_host == {"slow": 3, "fast": 8}
+    d = {r["host"]: r["count"] for r in deferred.groupBy("host").count().collect()}
+    assert d == {"slow": 7, "fast": 2}
+
+
+def test_round_quantum_matches_oracle():
+    """The oracle restates the quantum literally (no Spark import);
+    pin the two constants together."""
+    from tests.oracle_sim import scheduler_quantum
+
+    assert scheduler_quantum() == scheduler.ROUND_QUANTUM_S
+
+
 def test_dedup_batch_keeps_best(spark):
     from pyspider_spark.schemas import FRONTIER
 
