@@ -1,0 +1,234 @@
+"""IcebergTableStore — the real-Iceberg implementation of the
+TableStore contract (VERDICT r3 item 8; north rule: "over Iceberg
+tables").
+
+tables.TableStore implements snapshot semantics on parquet + JSON
+manifests because this container has no Iceberg jars;
+tests/test_iceberg_contract.py pins the method-by-method mapping
+(tables.ICEBERG_EQUIVALENTS) and the semantics the engine relies on.
+This module is the other side of that swap: the same public surface
+expressed in actual Iceberg DDL/DML — `writeTo().append()`,
+`overwritePartitions()`, snapshot-id time travel, MERGE INTO, and the
+`system.rollback_to_snapshot` / `expire_snapshots` /
+`remove_orphan_files` procedures. The gated leg of the contract tests
+runs these against a Hadoop-catalog warehouse when the runtime jar is
+on the classpath (skipped-not-silent otherwise).
+
+Usage on a cluster with `iceberg-spark-runtime` deployed:
+
+    spark.conf.set("spark.sql.catalog.ice",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.ice.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.ice.warehouse", "/path/wh")
+    store = IcebergTableStore(spark, "ice", "crawl")
+    engine = CrawlEngine(..., store=store)   # same engine, real Iceberg
+
+Reference analogue: the durable state layer config/db_setup.py:16-211.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001 — py4j raises several shapes here
+        return False
+
+
+class IcebergTableStore:
+    """TableStore's public surface over a real Iceberg catalog.
+
+    Matches tables.ICEBERG_EQUIVALENTS one call per method. Methods
+    whose parquet-store counterparts exist purely to emulate manifest
+    statistics (footer memoization) read Iceberg's own metadata tables
+    instead — those stats are native here.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str = "crawl"):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+        self._mirrors: list = []
+
+    # ------------------------------------------------------------- naming
+    def _qn(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    # ------------------------------------------------------------ surface
+    def add_mirror(self, sink, tables: set[str] | None = None) -> None:
+        self._mirrors.append((sink, tables))
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._qn(name))
+
+    def current_snapshot_id(self, name: str) -> int | None:
+        if not self.exists(name):
+            return None
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._qn(name)}.snapshots "
+            "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows else None
+
+    def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        if snapshot_id is None:
+            return self.spark.read.table(self._qn(name))
+        known = {
+            int(r[0])
+            for r in self.spark.sql(
+                f"SELECT snapshot_id FROM {self._qn(name)}.snapshots"
+            ).collect()
+        }
+        if snapshot_id not in known:
+            # the parquet store raises KeyError for an expired/unknown
+            # snapshot; keep the contract identical across backends
+            raise KeyError(f"{name}: unknown snapshot {snapshot_id}")
+        return (
+            self.spark.read.option("snapshot-id", str(snapshot_id))
+            .table(self._qn(name))
+        )
+
+    def read_or_empty(self, name: str, schema) -> DataFrame:
+        if not self.exists(name):
+            return self.spark.createDataFrame([], schema)
+        return self.read(name)
+
+    def append(self, name: str, df: DataFrame) -> int:
+        if not self.exists(name):
+            df.writeTo(self._qn(name)).create()
+        else:
+            df.writeTo(self._qn(name)).append()
+        self._fan_out(name, df)
+        return self.current_snapshot_id(name)
+
+    def append_rows(self, name: str, rows: list[dict], schema) -> int:
+        return self.append(name, self.spark.createDataFrame(rows, schema))
+
+    def overwrite(self, name: str, df: DataFrame) -> int:
+        df.writeTo(self._qn(name)).createOrReplace()
+        self._fan_out(name, df)
+        return self.current_snapshot_id(name)
+
+    def overwrite_rows(self, name: str, rows: list[dict], schema) -> int:
+        return self.overwrite(name, self.spark.createDataFrame(rows, schema))
+
+    def merge_insert_if_absent(self, name: str, df: DataFrame, key: str, schema) -> int:
+        if not self.exists(name):
+            self.spark.createDataFrame([], schema).writeTo(self._qn(name)).create()
+        batch = df.dropDuplicates([key])
+        batch.createOrReplaceTempView("_ice_merge_batch")
+        self.spark.sql(
+            f"MERGE INTO {self._qn(name)} t USING _ice_merge_batch s "
+            f"ON t.{key} = s.{key} WHEN NOT MATCHED THEN INSERT *"
+        )
+        return self.current_snapshot_id(name)
+
+    # --------------------------------------------- manifest-native stats
+    def n_data_dirs(self, name: str) -> int:
+        return int(
+            self.spark.sql(
+                f"SELECT count(*) FROM {self._qn(name)}.files"
+            ).collect()[0][0]
+        )
+
+    def count_rows(self, name: str) -> int:
+        if not self.exists(name):
+            return 0
+        rows = self.spark.sql(
+            f"SELECT summary['total-records'] FROM {self._qn(name)}.snapshots "
+            "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows and rows[0][0] is not None else 0
+
+    def file_rows(self, name: str) -> list[tuple[str, int]]:
+        return [
+            (r.file_path, int(r.record_count))
+            for r in self.spark.sql(
+                f"SELECT file_path, record_count FROM {self._qn(name)}.files"
+            ).collect()
+        ]
+
+    def last_append_rows(self, name: str) -> int:
+        rows = self.spark.sql(
+            f"SELECT summary['added-records'] FROM {self._qn(name)}.snapshots "
+            "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows and rows[0][0] is not None else 0
+
+    def read_last_append(self, name: str, schema) -> DataFrame:
+        sids = [
+            int(r[0])
+            for r in self.spark.sql(
+                f"SELECT snapshot_id FROM {self._qn(name)}.snapshots "
+                "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 2"
+            ).collect()
+        ]
+        if not sids:
+            return self.spark.createDataFrame([], schema)
+        if len(sids) == 1:
+            return self.read(name)
+        return (
+            self.spark.read.format("iceberg")
+            .option("start-snapshot-id", str(sids[1]))
+            .option("end-snapshot-id", str(sids[0]))
+            .table(self._qn(name))
+        )
+
+    def last_append_file_rows(self, name: str) -> list[tuple[str, int]]:
+        sid = self.current_snapshot_id(name)
+        return [
+            (r.file_path, int(r.record_count))
+            for r in self.spark.sql(
+                f"SELECT file_path, record_count FROM {self._qn(name)}.entries "
+                f"WHERE snapshot_id = {sid} AND status = 1"
+            ).collect()
+        ]
+
+    def min_column_stat(self, name: str, column: str):
+        if not self.exists(name):
+            return None
+        rows = self.spark.sql(
+            f"SELECT min({column}) FROM {self._qn(name)}"
+        ).collect()
+        # Iceberg answers this from manifest lower_bounds without a
+        # data scan when the column is a top-level primitive
+        return rows[0][0] if rows else None
+
+    # ------------------------------------------------- maintenance verbs
+    def rollback(self, name: str, snapshot_id: int | None) -> None:
+        if snapshot_id is None:
+            return
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rollback_to_snapshot"
+            f"('{self.namespace}.{name}', {snapshot_id})"
+        )
+
+    def prune_abandoned(self, name: str) -> None:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.remove_orphan_files"
+            f"(table => '{self.namespace}.{name}', "
+            "older_than => TIMESTAMP '9999-01-01 00:00:00')"
+        )
+
+    def vacuum(self, name: str) -> None:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots"
+            f"(table => '{self.namespace}.{name}', "
+            "older_than => TIMESTAMP '9999-01-01 00:00:00', "
+            "retain_last => 1)"
+        )
+        self.prune_abandoned(name)
+
+    # ------------------------------------------------------------ mirrors
+    def _fan_out(self, name: str, df: DataFrame) -> None:
+        for sink, tables in self._mirrors:
+            if tables is None or name in tables:
+                sink.write(name, df)

@@ -47,14 +47,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 class Q:
     fn: Callable[[SparkSession, str], DataFrame]
     sql: str | None  # DuckDB oracle; None → driver does rows-only check
+    # lazy oracle: built when oracle_sql() is called (used where the
+    # oracle is COMPUTED — e.g. the pure-Python crawl simulator's
+    # metrics rendered as a VALUES literal). Returning None falls back
+    # to the rows-only check instead of crashing the driver.
+    sql_fn: Callable[[], str | None] | None = None
 
 
 REGISTRY: dict[str, Q] = {}
 
 
-def register(name: str, sql: str | None = None):
+def register(name: str, sql: str | None = None, sql_fn=None):
     def deco(fn):
-        REGISTRY[name] = Q(fn, sql)
+        REGISTRY[name] = Q(fn, sql, sql_fn)
         return fn
 
     return deco
@@ -1266,10 +1271,36 @@ def u4_anti_bot_params(spark, sf_dir):
     )
 
 
-@register("m_image_pipeline", None)
+def _golden_image_features_sql() -> str | None:
+    """Oracle for m_image_pipeline: a committed golden parquet of the
+    typed per-image features (generated ONCE by the pure-Python — no
+    Spark — replay in tests/make_golden_image_features.py), joined to
+    the live documents view so only doc_ids actually present count.
+    What this pins is the Spark plumbing (mapInPandas batch shape,
+    schema, per-row tolerance) producing exactly those integers."""
+    import os
+
+    golden = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "golden", "m_image_features.parquet",
+    )
+    if not os.path.exists(golden):
+        return None
+    return f"""
+    SELECT g.image_id, g.w, g.h, g.fmt, g.mean_luma_milli, g.phash,
+           g.decode_ok
+    FROM read_parquet('{golden}') g
+    JOIN (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 40) d
+      ON g.image_id = 'doc' || CAST(d.doc_id AS VARCHAR) || '-0'
+    """
+
+
+@register("m_image_pipeline", None, sql_fn=_golden_image_features_sql)
 def m_image_pipeline(spark, sf_dir):
     """Multimodal plumbing: synth binary images for 40 docs → decode →
-    typed features. Not SQL-expressible (binary codec) → rows-only."""
+    typed features. The binary codec itself is not SQL-expressible, so
+    the oracle is a committed golden fixture of the deterministic
+    feature integers (see _golden_image_features_sql)."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     images = M.synthesize_images(docs)
     return M.extract_features(images).select(
@@ -1277,12 +1308,58 @@ def m_image_pipeline(spark, sf_dir):
     )
 
 
-@register("crawl_roundloop", None)
+CRAWL_Q_SPEC = dict(n_hosts=2, chains_per_host=2)
+CRAWL_Q_ROUNDS = 3
+
+
+def _crawl_metrics_oracle_sql() -> str | None:
+    """Oracle for crawl_roundloop: run the pure-Python crawl simulator
+    (tests/oracle_sim.py — the same independent oracle the e2e pytest
+    gate replays byte-for-byte) over the identical spec and render its
+    per-round metrics as a typed VALUES literal for DuckDB. This puts
+    the flagship loop under the driver's full rows+schema+hash check,
+    not just pytest."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    try:
+        from tests.oracle_sim import OracleEngine
+    except ImportError:
+        return None
+
+    from .synth import GraphSpec
+
+    o = OracleEngine(GraphSpec(**CRAWL_Q_SPEC))
+    o.run(max_rounds=CRAWL_Q_ROUNDS)
+    cols = [
+        "round", "popped", "fetched_ok", "failed", "retried",
+        "captcha_requeued", "deduped", "deferred_politeness",
+        "robots_blocked", "new_links", "items_emitted", "images_landed",
+    ]
+    rows = [o.metrics[r] for r in sorted(o.metrics) if r < CRAWL_Q_ROUNDS]
+    vals = ",\n      ".join(
+        "(" + ", ".join(str(int(m[c])) for c in cols) + ")" for m in rows
+    )
+    casts = ['CAST(v.c0 AS INTEGER) AS "round"'] + [
+        f"CAST(v.c{i} AS BIGINT) AS {c}" for i, c in enumerate(cols) if i > 0
+    ]
+    names = ", ".join(f"c{i}" for i in range(len(cols)))
+    return (
+        "SELECT " + ", ".join(casts)
+        + f" FROM (VALUES {vals}) AS v({names})"
+    )
+
+
+@register("crawl_roundloop", None, sql_fn=_crawl_metrics_oracle_sql)
 def crawl_roundloop(spark, sf_dir):
     """The flagship non-SQL operator: a full 3-round crawl of the
     deterministic synthetic graph (frontier pop → fetch → parse → dedup
-    → checkpoint), returning the per-round metrics table. Verified
-    in-depth against the pure-Python oracle in tests/."""
+    → checkpoint), returning the per-round metrics table. Oracled by
+    the pure-Python simulator's metrics (see _crawl_metrics_oracle_sql)
+    and verified in-depth against it in tests/."""
     import tempfile
 
     from .loop import CrawlEngine
@@ -1291,9 +1368,9 @@ def crawl_roundloop(spark, sf_dir):
 
     wd = tempfile.mkdtemp(prefix="crawl_q_")
     eng = CrawlEngine(
-        spark, wd, GraphSpec(n_hosts=2, chains_per_host=2), n_seen_partitions=8
+        spark, wd, GraphSpec(**CRAWL_Q_SPEC), n_seen_partitions=8
     )
-    eng.run(max_rounds=3)
+    eng.run(max_rounds=CRAWL_Q_ROUNDS)
     return eng.store.read_or_empty("metrics", METRICS)
 
 
@@ -1303,4 +1380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+    out: dict[str, str] = {}
+    for name, q in REGISTRY.items():
+        sql = q.sql if q.sql is not None else (q.sql_fn() if q.sql_fn else None)
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -211,3 +211,123 @@ def serve_keyword_search(
 
     value, was_hit = cache.cache("jingxi:keyword_search", cache_key, compute, tick)
     return {"code": 0, "cache_hit": was_hit, "data": json.loads(value)}
+
+
+class ApiServer:
+    """The reference's HTTP surface (main.py:9-32 + app/api/jingxi.py:
+    12-29) as a stdlib ``http.server`` front — the deployment swap
+    point for a real ASGI server:
+
+    - ``POST /token`` {username, password} → HS256 bearer token after
+      PBKDF2 verification (auth.py ≙ app/security.py:17-34);
+    - ``GET /api/keyword_search?keyword=&page=`` behind the bearer
+      check → cache-aside keyword search (serve_keyword_search); any
+      absent/forged/expired token is a 401.
+
+    Time is the server's logical tick — one increment per request, so
+    replays are deterministic (single-threaded HTTPServer on purpose:
+    request ordering IS the clock).
+    """
+
+    def __init__(self, spark: SparkSession, store: TableStore,
+                 users: dict[str, str], secret: str,
+                 ttl_ticks: int = DEFAULT_TTL_TICKS, port: int = 0):
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        from . import auth
+
+        outer = self
+        self.spark, self.store = spark, store
+        self.users, self.secret, self.ttl_ticks = users, secret, ttl_ticks
+        self._tick = 0
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet the test output
+                pass
+
+            def _send(self, code: int, obj: dict) -> None:
+                body = json.dumps(obj).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path != "/token":
+                    return self._send(404, {"detail": "not found"})
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    creds = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, TypeError):
+                    return self._send(400, {"detail": "bad request"})
+                user = str(creds.get("username") or "")
+                hashed = outer.users.get(user)
+                if not hashed or not auth.verify_password(
+                    str(creds.get("password") or ""), hashed
+                ):
+                    return self._send(
+                        401, {"detail": "incorrect username or password"}
+                    )
+                token = auth.create_access_token(
+                    user, outer.secret, outer._next_tick()
+                )
+                self._send(
+                    200, {"access_token": token, "token_type": "bearer"}
+                )
+
+            def do_GET(self):
+                from urllib.parse import parse_qs, urlsplit
+
+                parts = urlsplit(self.path)
+                if parts.path != "/api/keyword_search":
+                    return self._send(404, {"detail": "not found"})
+                tick = outer._next_tick()
+                hdr = self.headers.get("Authorization") or ""
+                sub = (
+                    auth.decode_access_token(hdr[7:], outer.secret, tick)
+                    if hdr.startswith("Bearer ")
+                    else None
+                )
+                if sub is None:
+                    return self._send(401, {"detail": "unauthorized"})
+                qs = parse_qs(parts.query)
+                try:
+                    page = int(qs.get("page", ["1"])[0] or 1)
+                except ValueError:
+                    return self._send(400, {"detail": "bad page"})
+                resp = serve_keyword_search(
+                    outer.spark, outer.store,
+                    qs.get("keyword", [""])[0], page, tick,
+                    ttl_ticks=outer.ttl_ticks,
+                )
+                self._send(200, resp)
+
+        self._httpd = HTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = None
+
+    def _next_tick(self) -> int:
+        self._tick += 1
+        return self._tick
+
+    def start(self) -> "ApiServer":
+        import threading
+
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    def __enter__(self) -> "ApiServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

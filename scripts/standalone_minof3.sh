@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Round-4 scaling-evidence protocol (VERDICT r3 item 1): min-of-3 at
+# BOTH cluster sizes, matched 8g executor heaps, interleaved
+# (c8,c32) pairs so co-tenant drift hits both legs alike. Writes one
+# raw JSON per sample to BENCH/scaling_r4/.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p BENCH/scaling_r4
+export SPARK_GRAFT_EXEC_MEM=8g        # MATCHED heaps on both legs
+export SPARK_GRAFT_SCALING_BUDGET=80  # 80 x 50k hosts = 4M pops/round
+LOG=BENCH/scaling_r4/run.log
+for s in 1 2 3; do
+  for cores in 8 32; do
+    out="BENCH/scaling_r4/standalone80_8g_c${cores}_s${s}.json"
+    if [ -s "$out" ]; then echo "skip $out (exists)" >>"$LOG"; continue; fi
+    echo "=== sample $s cores $cores start $(date -u +%T)" >>"$LOG"
+    python scripts/standalone_scaling.py --cores-max "$cores" --out "$out" \
+      >>"$LOG" 2>&1
+    echo "=== sample $s cores $cores done  $(date -u +%T) rc=$?" >>"$LOG"
+    sleep 10
+  done
+done
+echo "ALL_SAMPLES_DONE $(date -u +%T)" >>"$LOG"

@@ -91,7 +91,8 @@ def run_one(cores_max: int) -> dict:
     spark.range(1000).count()
     wd = tempfile.mkdtemp(prefix=f"sx{cores_max}_", dir="/dev/shm")
     try:
-        spec = GraphSpec(n_hosts=N_HOSTS, seed_tag="scaling2", img_scale=IMG_SCALE)
+        spec = GraphSpec(n_hosts=N_HOSTS, seed_tag="scaling2", img_scale=IMG_SCALE,
+                         crawl_delay_host0=None)  # keep the r2/r3 scaling protocol byte-identical (4M pops)
         eng = CrawlEngine(spark, wd, spec, n_seen_partitions=64)
         eng.store.overwrite("frontier", build_frontier(spark, FRONTIER_ROWS, N_HOSTS))
         if HOST_BUDGET != 20:  # same amortization knob as scaling_bench

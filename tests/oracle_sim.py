@@ -115,6 +115,34 @@ class OracleEngine:
                 )
             )
 
+    def ingest(self, raw_urls: list[str], next_round: int) -> int:
+        """Mid-crawl out-of-band seed ingestion (engine ingest_urls /
+        the S10 Kafka-source path): vet exactly like discovered links —
+        canonicalize → in-batch dedup → enqueued membership → robots —
+        and append survivors due at ``next_round``. Returns rows added."""
+        r = next_round - 1
+        new_best: dict[str, Row] = {}
+        for url in sorted(raw_urls, key=canonicalize_url):
+            uc = canonicalize_url(url)
+            if uc in new_best:
+                continue
+            host = uc.split("://", 1)[-1].split("/", 1)[0]
+            new_best[uc] = Row(
+                url=url, url_canon=uc, host=host,
+                priority=synth.priority_of(uc), exetime=r + 1,
+                stage=synth.stage_of(uc), round_added=r, lineage=None,
+            )
+        added = 0
+        for uc, row in new_best.items():
+            if uc in self.enqueued:
+                continue
+            if self._disallowed(row.host, _path_of(uc)):
+                continue
+            self.enqueued.add(uc)
+            self.frontier.append(row)
+            added += 1
+        return added
+
     def run_round(self, r: int) -> dict:
         m = dict(
             round=r, popped=0, fetched_ok=0, failed=0, retried=0,

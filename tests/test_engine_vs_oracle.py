@@ -168,6 +168,69 @@ def test_global_budget_metrics_match(budgeted_runs):
 
 
 @pytest.fixture(scope="module")
+def ingest_runs(spark, tmp_path_factory):
+    """Mid-crawl out-of-band ingestion (S10): 2 rounds, ingest a batch
+    containing a canon-hostile novel URL, a plain novel URL, a
+    robots-blocked URL and a dup of a seed, then resume to round 6 —
+    engine and oracle must stay byte-identical through the injection."""
+    inj = [
+        "HTTPS://Host0.Example:443/list/9/page/1#mid",  # novel, canon-hostile
+        "https://host1.example/list/9/page/1",          # novel
+        "https://host2.example/private/secret",         # robots-blocked
+        "https://host0.example/list/0/page/1",          # dup of a seed
+    ]
+    wd = str(tmp_path_factory.mktemp("crawl_ingest"))
+    eng = CrawlEngine(
+        spark, wd, SPEC, n_seen_partitions=8, use_bloom=True,
+        collect_pop_sequence=True,
+    )
+    eng.run(max_rounds=2)
+    df = spark.createDataFrame([(u,) for u in inj], ["url"])
+    n_eng = eng.ingest_urls(df, next_round=2)
+    eng.run(max_rounds=6, resume=True)
+    o = OracleEngine(SPEC)
+    o.bootstrap()
+    for r in range(2):
+        o.run_round(r)
+    n_o = o.ingest(inj, 2)
+    for r in range(2, 6):
+        o.run_round(r)
+    return eng, n_eng, o, n_o
+
+
+def test_ingest_vet_counts_match(ingest_runs):
+    _, n_eng, _, n_o = ingest_runs
+    assert n_eng == n_o == 2  # dup + robots-blocked vetted out
+
+
+def test_ingest_pop_sequences_match(ingest_runs):
+    eng, _, o, _ = ingest_runs
+    for r, seq in eng.pop_sequences.items():
+        assert seq == o.pop_sequences[r], f"round {r} pop order diverged"
+    # non-vacuous: the injected chains actually got popped post-resume
+    popped_all = {u for seq in eng.pop_sequences.values() for u in seq}
+    assert "https://host0.example/list/9/page/1" in popped_all
+    assert "https://host1.example/list/9/page/1" in popped_all
+
+
+def test_ingest_seen_sets_match(ingest_runs):
+    eng, _, o, _ = ingest_runs
+    seen = {r.url_canon for r in eng.store.read_or_empty("seen", SEEN).collect()}
+    assert seen == o.seen
+
+
+def test_ingest_out_of_sequence_raises(spark, tmp_path_factory):
+    """A next_round gap would pin unrun rounds as completed in the
+    ledger (resume would silently skip them) — must raise instead."""
+    wd = str(tmp_path_factory.mktemp("crawl_ingest_gap"))
+    eng = CrawlEngine(spark, wd, SPEC, n_seen_partitions=8)
+    eng.run(max_rounds=1)
+    df = spark.createDataFrame([("https://host0.example/list/8/page/1",)], ["url"])
+    with pytest.raises(ValueError, match="out of sequence"):
+        eng.ingest_urls(df, next_round=5)
+
+
+@pytest.fixture(scope="module")
 def delayed_runs(spark, tmp_path_factory):
     """Engine + oracle with a CONSTRAINING robots crawl-delay on host0
     (Q15): 30s delay → floor(60/30) = 2 pops/round, far under host0's

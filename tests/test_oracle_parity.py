@@ -14,23 +14,25 @@ from .parity import compare, duck_run
 
 SF = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
-ORACLED = [name for name, q in Q.REGISTRY.items() if q.sql is not None]
-ROWS_ONLY = [
-    name
-    for name, q in Q.REGISTRY.items()
-    if q.sql is None and name != "crawl_roundloop"  # crawl covered by e2e tests
-]
+# resolve lazy oracles (sql_fn) exactly as the driver's oracle_sql()
+# call does — r4: crawl_roundloop + m_image_pipeline moved from
+# rows-only to fully oracled, so ROWS_ONLY is empty when both resolve
+_OSQL = Q.oracle_sql()
+ORACLED = sorted(_OSQL)
+ROWS_ONLY = [name for name in Q.REGISTRY if name not in _OSQL]
 
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_parity(spark, name):
     q = Q.REGISTRY[name]
-    ok, msg = compare(q.fn(spark, SF), duck_run(q.sql, SF))
+    ok, msg = compare(q.fn(spark, SF), duck_run(_OSQL[name], SF))
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize("name", ROWS_ONLY or ["__none__"])
 def test_rows_only_queries_run(spark, name):
+    if name == "__none__":
+        pytest.skip("every registry query is oracled")
     df = Q.REGISTRY[name].fn(spark, SF)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
