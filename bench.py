@@ -82,6 +82,10 @@ def run_crawl(spark, rounds: int) -> dict:
         "new_links": int(agg["sum(new_links)"]),
         "seconds": round(dt, 3),
         "urls_per_sec": round(urls / dt, 2),
+        # per-phase attribution (engine _mark instrumentation): lets a
+        # bench regression be pinned to pop/fetch/parse/write phases
+        # without a rerun under a profiler
+        "phase_seconds": {k: round(v, 2) for k, v in eng.phase_times.items()},
     }
 
 

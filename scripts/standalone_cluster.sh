@@ -18,15 +18,19 @@ WORKER_CORES="${SPARK_GRAFT_WORKER_CORES:-8}"
 WORKER_MEM="${SPARK_GRAFT_WORKER_MEM:-12g}"
 
 up() {
-  mkdir -p /dev/shm/spark-local
+  # NOTE: executor local dirs (shuffle/spill) intentionally stay on
+  # DISK (worker default /tmp) — SPARK_LOCAL_DIRS=/dev/shm put shuffle
+  # in tmpfs ON TOP of the tmpfs table workdir + 4x8g heaps and the
+  # kernel OOM-killed executors mid-round (exit 137) at the 4M-pop
+  # round size; the r3 protocol also ran executor shuffle on disk.
   tmux new-session -d -s "$SESSION" -n master
   tmux send-keys -t "$SESSION:master" \
-    "SPARK_NO_DAEMONIZE=1 SPARK_LOCAL_DIRS=/dev/shm/spark-local '$SPARK_HOME/bin/spark-class' org.apache.spark.deploy.master.Master --host 127.0.0.1 --port 7077 --webui-port 8089" Enter
+    "SPARK_NO_DAEMONIZE=1 '$SPARK_HOME/bin/spark-class' org.apache.spark.deploy.master.Master --host 127.0.0.1 --port 7077 --webui-port 8089" Enter
   sleep 3
   for i in $(seq 1 "$N_WORKERS"); do
     tmux new-window -t "$SESSION" -n "worker$i"
     tmux send-keys -t "$SESSION:worker$i" \
-      "SPARK_NO_DAEMONIZE=1 SPARK_LOCAL_DIRS=/dev/shm/spark-local SPARK_WORKER_DIR=/tmp/spark-worker$i '$SPARK_HOME/bin/spark-class' org.apache.spark.deploy.worker.Worker '$MASTER_URL' --cores $WORKER_CORES --memory $WORKER_MEM --port $((40000 + i)) --webui-port $((8090 + i)) --work-dir /tmp/spark-worker$i" Enter
+      "SPARK_NO_DAEMONIZE=1 SPARK_WORKER_DIR=/tmp/spark-worker$i '$SPARK_HOME/bin/spark-class' org.apache.spark.deploy.worker.Worker '$MASTER_URL' --cores $WORKER_CORES --memory $WORKER_MEM --port $((40000 + i)) --webui-port $((8090 + i)) --work-dir /tmp/spark-worker$i" Enter
   done
   echo "cluster starting: master $MASTER_URL + $N_WORKERS workers (${WORKER_CORES}c/${WORKER_MEM} each) in tmux session '$SESSION'"
 }

@@ -7,6 +7,9 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p BENCH/scaling_r4
 export SPARK_GRAFT_EXEC_MEM=8g        # MATCHED heaps on both legs
+export SPARK_GRAFT_IMG_SCALE=3        # r3 study payload regime (BENCH/
+# scaling_r3/README.md): ~90KB avg encoded image, ~70G round payload —
+# the default img_scale=6 quadruples that to ~280G, beyond this box
 export SPARK_GRAFT_SCALING_BUDGET=80  # 80 x 50k hosts = 4M pops/round
 LOG=BENCH/scaling_r4/run.log
 for s in 1 2 3; do
@@ -16,7 +19,12 @@ for s in 1 2 3; do
     echo "=== sample $s cores $cores start $(date -u +%T)" >>"$LOG"
     python scripts/standalone_scaling.py --cores-max "$cores" --out "$out" \
       >>"$LOG" 2>&1
-    echo "=== sample $s cores $cores done  $(date -u +%T) rc=$?" >>"$LOG"
+    rc=$?   # capture BEFORE any $(...) which would clobber $?
+    if [ "$rc" -ne 0 ] || [ ! -s "$out" ]; then
+      echo "=== sample $s cores $cores FAILED rc=$rc at $(date -u +%T)" >>"$LOG"
+    else
+      echo "=== sample $s cores $cores done  $(date -u +%T) rc=$rc" >>"$LOG"
+    fi
     sleep 10
   done
 done

@@ -64,7 +64,7 @@ def get_cluster_spark(cores_max: int, app: str):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", "8g")
-        .config("spark.local.dir", "/dev/shm/spark-local")
+        .config("spark.local.dir", "/tmp/spark-local-driver")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.io.compression.codec", "zstd")
