@@ -28,9 +28,16 @@ up() {
     "SPARK_NO_DAEMONIZE=1 '$SPARK_HOME/bin/spark-class' org.apache.spark.deploy.master.Master --host 127.0.0.1 --port 7077 --webui-port 8089" Enter
   sleep 3
   for i in $(seq 1 "$N_WORKERS"); do
+    # Pin each worker (and so its executors, python workers, GC/netty
+    # threads — availableProcessors follows the affinity mask) to a
+    # DISJOINT core set: worker i = cores [(i-1)*C, i*C). This is the
+    # faithful one-box analogue of N separate 8-core nodes — unpinned,
+    # the 1-executor leg borrows all 32 cores' GC/cache/bus and the
+    # measured N→4N efficiency understates the engine.
+    lo=$(( (i - 1) * WORKER_CORES )); hi=$(( i * WORKER_CORES - 1 ))
     tmux new-window -t "$SESSION" -n "worker$i"
     tmux send-keys -t "$SESSION:worker$i" \
-      "SPARK_NO_DAEMONIZE=1 SPARK_WORKER_DIR=/tmp/spark-worker$i '$SPARK_HOME/bin/spark-class' org.apache.spark.deploy.worker.Worker '$MASTER_URL' --cores $WORKER_CORES --memory $WORKER_MEM --port $((40000 + i)) --webui-port $((8090 + i)) --work-dir /tmp/spark-worker$i" Enter
+      "SPARK_NO_DAEMONIZE=1 SPARK_WORKER_DIR=/tmp/spark-worker$i taskset -c $lo-$hi '$SPARK_HOME/bin/spark-class' org.apache.spark.deploy.worker.Worker '$MASTER_URL' --cores $WORKER_CORES --memory $WORKER_MEM --port $((40000 + i)) --webui-port $((8090 + i)) --work-dir /tmp/spark-worker$i" Enter
   done
   echo "cluster starting: master $MASTER_URL + $N_WORKERS workers (${WORKER_CORES}c/${WORKER_MEM} each) in tmux session '$SESSION'"
 }

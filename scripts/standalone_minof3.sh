@@ -14,7 +14,7 @@ export SPARK_GRAFT_SCALING_BUDGET=80  # 80 x 50k hosts = 4M pops/round
 LOG=BENCH/scaling_r4/run.log
 for s in 1 2 3; do
   for cores in 8 32; do
-    out="BENCH/scaling_r4/standalone80_8g_c${cores}_s${s}.json"
+    out="BENCH/scaling_r4/standalone80_8g_pin_c${cores}_s${s}.json"
     if [ -s "$out" ]; then echo "skip $out (exists)" >>"$LOG"; continue; fi
     echo "=== sample $s cores $cores start $(date -u +%T)" >>"$LOG"
     python scripts/standalone_scaling.py --cores-max "$cores" --out "$out" \
@@ -27,5 +27,18 @@ for s in 1 2 3; do
     fi
     sleep 10
   done
+done
+# control pair: compute-bound payload (img_scale=1, ~8G round payload)
+# isolates ENGINE scaling from the one-box shared-memory-bus ceiling —
+# if this pair scales >=0.8, the 4M-payload shortfall is bus-bound, not
+# an engine bottleneck.
+for cores in 8 32; do
+  out="BENCH/scaling_r4/ctrl_scale1_pin_c${cores}.json"
+  if [ -s "$out" ]; then continue; fi
+  echo "=== ctrl scale1 cores $cores start $(date -u +%T)" >>"$LOG"
+  SPARK_GRAFT_IMG_SCALE=1 python scripts/standalone_scaling.py --cores-max "$cores" --out "$out" >>"$LOG" 2>&1
+  rc=$?
+  echo "=== ctrl scale1 cores $cores done rc=$rc at $(date -u +%T)" >>"$LOG"
+  sleep 10
 done
 echo "ALL_SAMPLES_DONE $(date -u +%T)" >>"$LOG"
