@@ -110,20 +110,6 @@ def _plane_component_sql(p: int, i_sql: str, table: int = 0) -> str:
     return f"(case when {h} % 2 = 0 then 1 else -1 end)"
 
 
-def lsh_signature_expr(vec_sql: str) -> str:
-    """N_PLANES-bit random-hyperplane signature: bit p = sign(dot(v, r_p))
-    where r_p[i] = ±1 hash-derived. aggregate fold per plane."""
-    bits = []
-    for p in range(N_PLANES):
-        dot = (
-            f"aggregate(zip_with({vec_sql}, sequence(0, size({vec_sql}) - 1), "
-            f"(x, i) -> cast(x as double) * {_plane_component_sql(p, 'i')}), "
-            f"0d, (acc, v) -> acc + v)"
-        )
-        bits.append(f"(case when {dot} > 0 then {1 << p} else 0 end)")
-    return "(" + " + ".join(bits) + ")"
-
-
 N_TABLES = 8  # independent LSH tables (OR construction)
 ANN_PLANES = 4  # planes/table for top-k search: wider buckets, higher
 # recall on weakly-clustered data (measured 0.64@k=5 on the random test
@@ -408,19 +394,9 @@ def embedding_near_dup_pairs_q(emb: DataFrame, min_cos_bp: int = 9500) -> DataFr
     )
 
 
-def embedding_near_dup_pairs(emb: DataFrame, min_cos_bp: int = 9500) -> DataFrame:
-    """Embedding-cosine near-dup detection: LSH-bucketed candidate pairs
-    with exact cosine ≥ threshold. The near-dup variant of ann search."""
-    sig = emb.withColumn("sig", F.expr(lsh_signature_expr("embedding")))
-    l = sig.select(F.col("sig"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    r = sig.select(F.col("sig"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        l.join(r, on="sig")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.expr(f"cast(floor(({cosine_sim_expr('ea', 'eb')}) * 10000) as bigint)").alias("cos_bp"),
-        )
-        .filter(F.col("cos_bp") >= min_cos_bp)
-    )
+# (a float-signature variant of the pairs function used to live here;
+# it duplicated embedding_near_dup_pairs_q with interpreted
+# aggregate(zip_with) folds and had no callers — the quantized,
+# Arrow-matmul-signatured function above IS the embedding near-dup
+# primitive. At QUANT=1000 the quantization error on a unit-ish vector
+# is < 1e-3 per component, far inside the 9500-bp near-dup margin.)
