@@ -360,7 +360,13 @@ def minhash_near_dups(
         "doc_id", "shingles", *[f"band{b}" for b in range(n_bands)]
     ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sigs, n_bands=n_bands)
-    sh = sigs.select("doc_id", "shingles")
+    # verify joins are pinned sort-merge: the shingle side's in-memory
+    # size is many times its compressed shuffle stats (int64 arrays),
+    # and at 10M docs AQE's estimate put it under the broadcast
+    # threshold — the driver then died building an >8 GB broadcast.
+    # SMJ on doc id is the correct 10^9-doc plan for BOTH sides; the
+    # slim pairs side stays broadcastable only when it truly is tiny.
+    sh = sigs.select("doc_id", "shingles").hint("merge")
     verified = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), on="doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), on="doc_b")

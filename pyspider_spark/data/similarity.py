@@ -300,10 +300,37 @@ def ivf_probe_udf(cent_ids: np.ndarray, cent_mat: np.ndarray, nprobe: int):
             return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(e, dtype=np.float32) for e in embs])
         qv = np.floor(mat * np.float32(QUANT)).astype(np.int64)
-        # exact int64 L2²: |q|² − 2q·c + |c|² (|values| ≤ dim·1e6 ≪ 2^63)
-        d = (qv * qv).sum(axis=1, keepdims=True) - 2 * (qv @ c.T) + c_n2[None, :]
-        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series([ids[row].tolist() for row in idx])
+        # exact L2²: |q|² − 2q·c + |c|². int64 matmul has no BLAS
+        # (10M probes against a √N codebook ran 907 s at 8 cores); the
+        # float64 matmul is BLAS-backed (~10×) and BIT-EXACT whenever
+        # every product q_i·c_i and every running sum stays ≤ 2^53 —
+        # guard with the actual data magnitudes and keep the int64
+        # path as the overflow-safe fallback.
+        qa = np.abs(qv).max(initial=0)
+        ca = np.abs(c).max(initial=0)
+        if qa * ca * qv.shape[1] < 2**52:
+            dots = (qv.astype(np.float64) @ c.T.astype(np.float64)).astype(np.int64)
+        else:
+            dots = qv @ c.T
+        d = (qv * qv).sum(axis=1, keepdims=True) - 2 * dots + c_n2[None, :]
+        # top-nprobe via argpartition, NOT a full row argsort: the full
+        # sort touches the whole (batch x C) distance matrix log C
+        # times and at 10M probes the op went memory-bus-bound (1.11x
+        # at 4x cores). argpartition is O(C); the tiny candidate set
+        # (nprobe + boundary ties) is then ordered by (d, centroid
+        # index) — bit-identical to the stable full argsort the DuckDB
+        # oracle's row_number window replays.
+        if d.shape[1] > nprobe:
+            part = np.argpartition(d, nprobe - 1, axis=1)[:, :nprobe]
+            kth = d[np.arange(len(d))[:, None], part].max(axis=1)
+        else:
+            kth = d.max(axis=1)
+        out = []
+        for i in range(len(d)):
+            cand = np.flatnonzero(d[i] <= kth[i])
+            order = np.lexsort((cand, d[i, cand]))
+            out.append(ids[cand[order][:nprobe]].tolist())
+        return pd.Series(out)
 
     return probe
 
