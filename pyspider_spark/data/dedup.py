@@ -360,13 +360,18 @@ def minhash_near_dups(
         "doc_id", "shingles", *[f"band{b}" for b in range(n_bands)]
     ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sigs, n_bands=n_bands)
-    # verify joins are pinned sort-merge: the shingle side's in-memory
-    # size is many times its compressed shuffle stats (int64 arrays),
-    # and at 10M docs AQE's estimate put it under the broadcast
-    # threshold — the driver then died building an >8 GB broadcast.
-    # SMJ on doc id is the correct 10^9-doc plan for BOTH sides; the
-    # slim pairs side stays broadcastable only when it truly is tiny.
-    sh = sigs.select("doc_id", "shingles").hint("merge")
+    # At scale the verify joins are pinned sort-merge: the shingle
+    # side's in-memory size is many times its compressed shuffle stats
+    # (int64 arrays), and at 10M docs AQE's estimate put it under the
+    # broadcast threshold — the driver then died building an >8 GB
+    # broadcast. SMJ on doc id is the correct 10^9-doc plan. The plan
+    # choice keys off the geometry the caller already sized to the
+    # corpus (choose_minhash_geometry): the small-corpus default 8x4
+    # keeps AQE's broadcast freedom (measured ~2x faster at sf0.1),
+    # every at-scale geometry forces SMJ.
+    sh = sigs.select("doc_id", "shingles")
+    if n_bands > 4:
+        sh = sh.hint("merge")
     verified = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), on="doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), on="doc_b")
