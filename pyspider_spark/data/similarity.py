@@ -306,8 +306,11 @@ def ivf_probe_udf(cent_ids: np.ndarray, cent_mat: np.ndarray, nprobe: int):
         # every product q_i·c_i and every running sum stays ≤ 2^53 —
         # guard with the actual data magnitudes and keep the int64
         # path as the overflow-safe fallback.
-        qa = np.abs(qv).max(initial=0)
-        ca = np.abs(c).max(initial=0)
+        # guard arithmetic in Python ints: np.int64 products around
+        # 2^26 * 2^26 * dim silently wrap (possibly negative) and would
+        # pass the guard exactly where the BLAS float64 path loses bits
+        qa = int(np.abs(qv).max(initial=0))
+        ca = int(np.abs(c).max(initial=0))
         if qa * ca * qv.shape[1] < 2**52:
             dots = (qv.astype(np.float64) @ c.T.astype(np.float64)).astype(np.int64)
         else:

@@ -51,6 +51,8 @@ class IcebergTableStore:
     instead — those stats are native here.
     """
 
+    _merge_seq = 0  # per-process counter for unique merge-view names
+
     def __init__(self, spark: SparkSession, catalog: str, namespace: str = "crawl"):
         self.spark = spark
         self.catalog = catalog
@@ -124,11 +126,20 @@ class IcebergTableStore:
         if not self.exists(name):
             self.spark.createDataFrame([], schema).writeTo(self._qn(name)).create()
         batch = df.dropDuplicates([key])
-        batch.createOrReplaceTempView("_ice_merge_batch")
-        self.spark.sql(
-            f"MERGE INTO {self._qn(name)} t USING _ice_merge_batch s "
-            f"ON t.{key} = s.{key} WHEN NOT MATCHED THEN INSERT *"
-        )
+        # per-call unique view name: the session-global temp-view
+        # namespace is shared across stores, so a fixed name lets two
+        # concurrent merges clobber each other's batch between
+        # createOrReplaceTempView and the MERGE (ADVICE r4)
+        IcebergTableStore._merge_seq += 1
+        view = f"_ice_merge_batch_{IcebergTableStore._merge_seq}"
+        batch.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(
+                f"MERGE INTO {self._qn(name)} t USING {view} s "
+                f"ON t.{key} = s.{key} WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
         return self.current_snapshot_id(name)
 
     # --------------------------------------------- manifest-native stats
@@ -204,7 +215,16 @@ class IcebergTableStore:
 
     # ------------------------------------------------- maintenance verbs
     def rollback(self, name: str, snapshot_id: int | None) -> None:
+        # snapshot_id None means "this table did not exist at the
+        # checkpoint" — the parquet TableStore resets it to empty
+        # (current=None). Returning early here would let rows appended
+        # by a crashed round survive the restore and be appended AGAIN
+        # by the replay (duplicate rows on resume, ADVICE r4). Dropping
+        # the table restores the exact pre-checkpoint state: exists()
+        # is False and the replay's first append re-creates it.
         if snapshot_id is None:
+            if self.exists(name):
+                self.spark.sql(f"DROP TABLE {self._qn(name)}")
             return
         self.spark.sql(
             f"CALL {self.catalog}.system.rollback_to_snapshot"
@@ -212,6 +232,32 @@ class IcebergTableStore:
         )
 
     def prune_abandoned(self, name: str) -> None:
+        # rollback_to_snapshot leaves the rolled-past snapshots in table
+        # metadata, still referencing their files — remove_orphan_files
+        # alone deletes nothing, so the parquet store's guarantee (a
+        # crashed round's data is physically gone before replay, so
+        # file-source streams never see the rows twice) would not hold
+        # here (ADVICE r4). Expire the snapshots NEWER than the current
+        # pointer first, then sweep the now-unreferenced files.
+        if not self.exists(name):
+            return  # e.g. right after rollback(name, None) dropped it
+        cur = self.current_snapshot_id(name)
+        if cur is not None:
+            newer = [
+                int(r[0])
+                for r in self.spark.sql(
+                    f"SELECT s.snapshot_id FROM {self._qn(name)}.snapshots s "
+                    f"WHERE s.committed_at > (SELECT committed_at FROM "
+                    f"{self._qn(name)}.snapshots WHERE snapshot_id = {cur})"
+                ).collect()
+            ]
+            if newer:
+                arr = ", ".join(str(s) for s in newer)
+                self.spark.sql(
+                    f"CALL {self.catalog}.system.expire_snapshots"
+                    f"(table => '{self.namespace}.{name}', "
+                    f"snapshot_ids => ARRAY({arr}))"
+                )
         self.spark.sql(
             f"CALL {self.catalog}.system.remove_orphan_files"
             f"(table => '{self.namespace}.{name}', "

@@ -129,7 +129,11 @@ def effective_config(config: DataFrame, robots: DataFrame) -> DataFrame:
     nothing, exactly like budget deferral. Dim-dim join over two tiny
     broadcast tables; the result broadcasts downstream unchanged."""
     delays = (
-        robots.filter(F.col("crawl_delay_s").isNotNull())
+        # delay <= 0 means "no delay" (ADVICE r4): keeping it would
+        # divide by zero here and leave the budget uncapped in the
+        # degenerate branch — filter it in BOTH engine and oracle so
+        # the two stay bit-identical on all inputs
+        robots.filter(F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") > 0))
         .groupBy(F.col("host").alias("_dhost"))
         .agg(F.max("crawl_delay_s").alias("_delay"))
     )

@@ -79,10 +79,15 @@ class OracleEngine:
         # robots Crawl-delay caps the per-round budget (Q15): effective
         # concurrency = min(concurrency, floor(quantum / max delay)) —
         # mirrors scheduler.effective_config bit-for-bit.
+        # delay <= 0 is "no delay" in both engine and oracle (ADVICE r4:
+        # 0.0 raised ZeroDivisionError here while the engine left the
+        # budget uncapped — a degenerate-input divergence)
         delays = [
             r["crawl_delay_s"]
             for r in synth.robots_rows(self.spec)
-            if r["host"] == host and r["crawl_delay_s"] is not None
+            if r["host"] == host
+            and r["crawl_delay_s"] is not None
+            and r["crawl_delay_s"] > 0
         ]
         if delays:
             b = min(b, int(scheduler_quantum() // max(delays)))

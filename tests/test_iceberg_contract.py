@@ -133,6 +133,21 @@ def test_vacuum_is_expire_snapshots(spark, store):
         store.read("t", s1)
 
 
+def test_rollback_to_none_resets_table_to_empty(spark, store):
+    """Resume after a crash that happened right after a table's
+    FIRST-EVER append: the checkpoint has no snapshot for it
+    (snapshot_id=None), so rollback must reset the table to empty —
+    otherwise the replay re-appends the crashed round's rows and the
+    table holds duplicates (ADVICE r4)."""
+    store.append("t", _df(spark, [("a", 1)]))
+    store.rollback("t", None)
+    store.prune_abandoned("t")
+    assert _rows(store.read_or_empty("t", SCHEMA)) == []
+    # replay re-appends the same batch exactly once
+    store.append("t", _df(spark, [("a", 1)]))
+    assert _rows(store.read("t")) == [("a", 1)]
+
+
 def test_merge_insert_if_absent_is_merge_when_not_matched(spark, store):
     """Iceberg: MERGE INTO ... WHEN NOT MATCHED THEN INSERT. Re-merging
     an overlapping batch inserts only the new keys — idempotent under
@@ -198,6 +213,18 @@ def test_iceberg_vacuum_expires_snapshots_gated(spark, ice_store):
     assert _rows(ice_store.read("t")) == [("a", 1), ("b", 2)]
     with pytest.raises(KeyError):
         ice_store.read("t", s1)
+
+
+def test_iceberg_rollback_to_none_gated(spark, ice_store):
+    """Restore-after-first-append on the real backend: rollback(t, None)
+    must drop/truncate (parquet contract: reset to empty), so the
+    replayed append leaves exactly one copy (ADVICE r4 medium)."""
+    ice_store.append("t", _df(spark, [("a", 1)]))
+    ice_store.rollback("t", None)
+    ice_store.prune_abandoned("t")
+    assert _rows(ice_store.read_or_empty("t", SCHEMA)) == []
+    ice_store.append("t", _df(spark, [("a", 1)]))
+    assert _rows(ice_store.read("t")) == [("a", 1)]
 
 
 def test_iceberg_merge_idempotent_gated(spark, ice_store):

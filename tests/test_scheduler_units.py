@@ -125,6 +125,41 @@ def test_crawl_delay_caps_budget(spark):
     assert d == {"slow": 7, "fast": 2}
 
 
+def test_zero_crawl_delay_means_no_delay_in_engine_and_oracle(spark):
+    """Degenerate input (ADVICE r4): crawl_delay_s == 0.0 used to leave
+    the engine budget uncapped via floor(60/0.0)=inf while the oracle
+    raised ZeroDivisionError — now BOTH treat delay <= 0 as 'no delay'
+    and keep the full configured budget."""
+    rows = [(f"https://zero/u{i}", "zero", 5, 0) for i in range(10)]
+    df = frontier_rows(spark, rows)
+    config = spark.createDataFrame(
+        [{"host": "zero", "concurrency": 8, "delay_s": 0.0, "timeout_s": 1.0,
+          "max_retries": 3, "pop_budget": 100}],
+        CONFIG,
+    )
+    robots = spark.createDataFrame(
+        [{"host": "zero", "path_prefix": "/private/", "allow": False,
+          "crawl_delay_s": 0.0},
+         {"host": "zero", "path_prefix": "/tmp/", "allow": False,
+          "crawl_delay_s": -1.0}],
+        ROBOTS,
+    )
+    eff = scheduler.effective_config(config, robots)
+    assert eff.collect()[0]["concurrency"] == 8
+    popped, deferred = scheduler.pop(df, eff, round_no=0)
+    assert popped.count() == 8 and deferred.count() == 2
+    # oracle side: same spec shape must not raise and must agree
+    from pyspider_spark.synth import GraphSpec, config_rows
+    from tests.oracle_sim import OracleEngine
+
+    spec = GraphSpec(crawl_delay_host0=0.0)
+    o = OracleEngine(spec)
+    cfg_budget = next(
+        c["concurrency"] for c in config_rows(spec) if c["host"] == spec.host(0)
+    )
+    assert o._budget(spec.host(0)) == cfg_budget
+
+
 def test_round_quantum_matches_oracle():
     """The oracle restates the quantum literally (no Spark import);
     pin the two constants together."""
