@@ -494,3 +494,122 @@ def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
     return fp.groupBy("fp").agg(
         F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
     )
+
+
+# ---- duplicate-cluster formation (pairs → clusters → survivors) ----
+#
+# The near-dup primitives above emit PAIRS; a real training-data dedup
+# pass must resolve the pair graph into transitive clusters and keep
+# exactly one survivor per cluster (A~B, B~C ⇒ {A,B,C} is one cluster
+# even when A~C is below threshold). Connected components via
+# min-label propagation with path-halving pointer jumps:
+#
+#   label(v) ← min(label(v), min over neighbors' labels)   [one SMJ+agg]
+#   label(v) ← label(label(v))                             [path halving]
+#
+# Labels are monotone non-increasing node ids, so at fixpoint every
+# edge joins equal labels and each component carries its MIN doc_id —
+# the same keep-min-doc_id survivor policy as exact_dedup_keep_first.
+# Path halving makes convergence O(log diameter) rounds instead of
+# O(diameter); near-dup graphs are mostly tiny cliques plus the odd
+# boilerplate chain, so this typically terminates in 2-4 rounds.
+#
+# Scale notes (10^9+ docs): every join/agg shuffles on doc_id only
+# (slim 2-int64 rows — the pair graph is a small fraction of the
+# corpus); per-round results are localCheckpoint'ed to truncate the
+# iterative lineage (on a real cluster point
+# spark.sparkContext.setCheckpointDir at durable storage and swap in
+# .checkpoint() if executor loss must be survivable mid-computation).
+# Convergence is detected by a scalar SUM(label) aggregate (labels
+# strictly decrease until fixpoint; DECIMAL(38,0) keeps the sum exact
+# at any corpus size).
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in the pair graph, where
+    cluster_id = min doc_id of the doc's connected component. Input
+    needs only (doc_a, doc_b) columns; direction/duplicates ignored."""
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("_nl")
+                ),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_nbr"))
+            .withColumnRenamed("src", "node")
+        )
+        cand = labels.join(nbr, on="node", how="left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("_nbr", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # path halving: label ← label's label (labels are node ids, so
+        # the parent row always exists; left+coalesce keeps it total)
+        parent = cand.select(
+            F.col("node").alias("_pn"), F.col("label").alias("_pl")
+        )
+        labels = (
+            cand.join(parent, cand["label"] == parent["_pn"], "left")
+            .select("node", F.coalesce("_pl", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:  # fixpoint: no label moved this round
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iters} rounds"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
+    """Resolve a near-dup pair list into duplicate clusters with the
+    keep-first survivor policy: (doc_id, cluster_id, is_survivor) for
+    every doc that appears in a pair. cluster_id is the component's min
+    doc_id, which IS the survivor (matching exact_dedup_keep_first)."""
+    cc = connected_components(pairs, max_iters)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, max_iters: int = 64
+) -> DataFrame:
+    """The actual dedup pass: drop every non-survivor cluster member,
+    keep survivors and all singletons (docs in no pair). Anti-join on
+    doc_id — the loser set is a small fraction of the corpus, so the
+    big side shuffles once on its key (or AQE broadcasts the losers
+    when they fit)."""
+    losers = dedup_clusters(pairs, max_iters).filter(
+        ~F.col("is_survivor")
+    ).select("doc_id")
+    return docs.join(losers, on="doc_id", how="left_anti")
