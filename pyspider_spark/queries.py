@@ -1097,8 +1097,13 @@ def s_dot_topk(spark, sf_dir):
 @register("s_cosine_topk", None)  # sql assigned below (needs _cosbp_duck)
 def s_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k in quantized basis points — integer dot
-    and norms (order-independent), one IEEE sqrt/divide; oracle-gated."""
-    return S.cosine_topk(load(spark, sf_dir, "embeddings"), n_queries=20, k=5)
+    and norms (order-independent), one IEEE sqrt/divide; oracle-gated.
+    The Arrow-matmul scale path (cosine_topk_vectorized) is the default
+    impl; cosine_topk keeps the interpreted-fold reference shape and
+    tests pin the two bit-equal."""
+    return S.cosine_topk_vectorized(
+        load(spark, sf_dir, "embeddings"), n_queries=20, k=5
+    )
 
 
 @register("s_ann_lsh", None)  # sql assigned below (needs _sig_duck)

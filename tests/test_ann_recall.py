@@ -29,6 +29,21 @@ def _topk_sets(df):
     return out
 
 
+def test_cosine_topk_vectorized_bit_equal(spark, emb):
+    """The Arrow-matmul brute-force path (the registry default and the
+    recall ground truth) must equal the interpreted-fold reference
+    construction row-for-row: same quantization, same IEEE tail, same
+    (cos desc, vid asc) total order."""
+    ref = sorted(
+        tuple(r) for r in S.cosine_topk(emb, n_queries=N_Q, k=K).collect()
+    )
+    vec = sorted(
+        tuple(r)
+        for r in S.cosine_topk_vectorized(emb, n_queries=N_Q, k=K).collect()
+    )
+    assert ref == vec
+
+
 def test_ann_recall_vs_bruteforce(spark, emb):
     exact = _topk_sets(S.cosine_topk(emb, n_queries=N_Q, k=K))
     approx = _topk_sets(S.ann_lsh_topk(emb, n_queries=N_Q, k=K))
