@@ -1401,8 +1401,25 @@ def m_image_pipeline(spark, sf_dir):
     )
 
 
-CRAWL_Q_SPEC = dict(n_hosts=2, chains_per_host=2)
-CRAWL_Q_ROUNDS = 3
+# Driver-oracled crawl spec (widened per VERDICT r4 'what's wrong' #2 /
+# 'next round' #3): 3 hosts x 3 chains over 5 rounds with host0 under a
+# 20 s robots crawl-delay (budget capped at floor(60/20)=3 → nonzero
+# deferred_politeness), raised failure/captcha rates so the retry and
+# captcha-requeue paths fire inside the window, a raised private-link
+# rate so robots_blocked is nonzero, and a global pop budget that binds
+# once all three hosts have backlog. The pure-Python simulator replays
+# the identical spec, so the driver's rows+schema+hash gate now covers
+# the full scheduling contract, not just the happy path.
+CRAWL_Q_SPEC = dict(
+    n_hosts=3,
+    chains_per_host=3,
+    crawl_delay_host0=20.0,
+    fail_rate_pct=12,
+    captcha_rate_pct=12,
+    private_rate_pct=30,
+)
+CRAWL_Q_ROUNDS = 5
+CRAWL_Q_GLOBAL_BUDGET = 14
 
 
 def _crawl_metrics_oracle_sql() -> str | None:
@@ -1425,7 +1442,9 @@ def _crawl_metrics_oracle_sql() -> str | None:
 
     from .synth import GraphSpec
 
-    o = OracleEngine(GraphSpec(**CRAWL_Q_SPEC))
+    o = OracleEngine(
+        GraphSpec(**CRAWL_Q_SPEC), global_budget=CRAWL_Q_GLOBAL_BUDGET
+    )
     o.run(max_rounds=CRAWL_Q_ROUNDS)
     cols = [
         "round", "popped", "fetched_ok", "failed", "retried",
@@ -1461,7 +1480,8 @@ def crawl_roundloop(spark, sf_dir):
 
     wd = tempfile.mkdtemp(prefix="crawl_q_")
     eng = CrawlEngine(
-        spark, wd, GraphSpec(**CRAWL_Q_SPEC), n_seen_partitions=8
+        spark, wd, GraphSpec(**CRAWL_Q_SPEC), n_seen_partitions=8,
+        global_budget=CRAWL_Q_GLOBAL_BUDGET,
     )
     eng.run(max_rounds=CRAWL_Q_ROUNDS)
     return eng.store.read_or_empty("metrics", METRICS)
