@@ -8,8 +8,11 @@ deterministic lossy stub for 'jpeg' — see imaging.py docstring). The
 Spark-side plumbing — binary schema, mapInPandas batch shape, partition
 behavior — is real and is what these operators exercise.
 
-Audio/video decode is stubbed behind NotImplementedError with the same
-batch signature, so swapping in a real decoder is a one-function change.
+Audio is REAL: RIFF/WAVE PCM decode needs only stdlib ``wave`` + numpy
+(:mod:`pyspider_spark.audio`), so synthesize → decode → features runs
+end-to-end with a golden-parquet oracle. Video frame sampling remains
+stubbed behind NotImplementedError (no ffmpeg in this container) with
+the batch signature a real decoder would use.
 
 Scale notes (100 TB of images): decode runs inside mapInPandas — one
 Python worker per core, Arrow transfer, no JVM round-trips per row; the
@@ -162,12 +165,126 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.mapInPandas(rz, schema=IMAGES)
 
 
+# ---- audio (real: RIFF/WAVE PCM via stdlib wave + numpy) ----------------
+# WAV needs no external codec, so unlike jpeg/ffmpeg this modality is
+# fully real in-container (pyspider_spark.audio): lossless int16 PCM
+# round-trip, integer features, golden-parquet oracle.
+
+AUDIO = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("caption", T.StringType(), True),
+    ]
+)
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms_milli", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def synthesize_audio(docs: DataFrame, per_doc: int = 1) -> DataFrame:
+    """Deterministic AUDIO-schema rows keyed by doc_id (same pattern as
+    synthesize_images; real WAV payloads via audio.encode_wav)."""
+    from .. import audio as A
+
+    cols = [f.name for f in AUDIO.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                for j in range(per_doc):
+                    audio_id = f"aud{doc_id}-{j}"
+                    pcm, sr = A.synth_pcm(audio_id)
+                    rows.append(
+                        {
+                            "audio_id": audio_id,
+                            "bytes": A.encode_wav(pcm, sr),
+                            "sample_rate": sr,
+                            "channels": int(pcm.shape[1]),
+                            "n_samples": int(pcm.shape[0]),
+                            "caption": f"synthetic clip {audio_id}",
+                        }
+                    )
+                    if len(rows) >= 256:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+        yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(gen, schema=AUDIO)
+
+
+def extract_audio_features(clips: DataFrame) -> DataFrame:
+    """Decode WAV payloads → typed integer features (duration_ms,
+    rms_milli, peak, ...), with the same per-row tolerance as
+    extract_features: a corrupt payload yields decode_ok=False, never a
+    dead stage."""
+    from .. import audio as A
+
+    cols = [f.name for f in AUDIO_FEATURES.fields]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    pcm, sr = A.decode_wav(bytes(rec.bytes))
+                    f = A.audio_features(pcm, sr)
+                    rows.append(
+                        {
+                            "audio_id": rec.audio_id,
+                            **f,
+                            "n_bytes": len(rec.bytes),
+                            "decode_ok": True,
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {
+                            "audio_id": rec.audio_id,
+                            "sample_rate": None,
+                            "channels": None,
+                            "n_samples": None,
+                            "duration_ms": None,
+                            "rms_milli": None,
+                            "peak": None,
+                            "n_bytes": len(rec.bytes) if rec.bytes is not None else 0,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return clips.mapInPandas(feats, schema=AUDIO_FEATURES)
+
+
 def decode_audio_batch(payloads: pd.Series) -> pd.Series:
-    """STUB: audio decode (no audio libs in this container). Keeps the
-    batch signature a real decoder would use."""
-    raise NotImplementedError(
-        "audio decode requires an audio codec library absent from this environment"
-    )
+    """Arrow-batch WAV decode: bytes → (n, channels) int16 sample
+    arrays (None where the payload does not decode). Real stdlib-wave
+    implementation — the former no-codec stub is closed."""
+    from .. import audio as A
+
+    out = []
+    for b in payloads:
+        try:
+            pcm, _ = A.decode_wav(bytes(b))
+            out.append(pcm)
+        except Exception:
+            out.append(None)
+    return pd.Series(out)
 
 
 def sample_video_frames_batch(payloads: pd.Series, every_n: int) -> pd.Series:
