@@ -98,12 +98,18 @@ def _http_one(
         if proxy
         else urllib.request.build_opener()
     )
+    from .htmlparse import sniff_decode
+
     try:
         with opener.open(req, timeout=timeout_s) as resp:
-            return int(resp.status), resp.read().decode("utf-8", "replace")
+            # charset-sniffed bytes→str boundary (BOM > header charset
+            # > meta prescan > utf-8), always errors='replace'
+            return int(resp.status), sniff_decode(
+                resp.read(), resp.headers.get("Content-Type")
+            )
     except urllib.error.HTTPError as e:
         try:
-            body = e.read().decode("utf-8", "replace")
+            body = sniff_decode(e.read(), e.headers.get("Content-Type"))
         except Exception:
             body = ""
         return int(e.code), body

@@ -229,3 +229,87 @@ def test_links_resolve_relative_against_base():
         "https://other.example/abs",
         "https://host0.example/list/0/img/i1",
     ]
+
+
+# ---- r5: entity/charset hardening (VERDICT r4 item 7) -------------------
+
+
+def test_full_named_entity_table():
+    """convert_charrefs rides stdlib html.entities' full html5 table:
+    basics, exotic names, multi-codepoint entities, legacy
+    no-semicolon forms, numeric (dec/hex) — in text AND attributes."""
+    doc = (
+        '<a href="/x?a=1&amp;b=2" title="&NotEqualTilde;&nbsp;&copy">'
+        "&lt;tag&gt; &mdash; &Zopf; &#x1F600; &#169; &amp &nbspX</a>"
+    )
+    root = H.parse_html(doc)
+    a = root.find("a")
+    assert a.get("href") == "/x?a=1&b=2"
+    assert a.get("title") == "≂̸\xa0\xa9"  # multi-codepoint + legacy &copy
+    t = a.text()
+    assert "<tag>" in t and "—" in t and "ℤ" in t
+    assert "\U0001f600" in t and "\xa9" in t
+    # legacy-without-semicolon: &amp -> '&', &nbspX -> NBSP + 'X'
+    assert "& \xa0X" in t
+
+
+def test_entity_dense_fuzz_never_raises():
+    import html.entities
+    import random
+
+    rng = random.Random(77)
+    names = list(html.entities.html5)
+    for trial in range(200):
+        body = "<div title='" + "".join(
+            f"&{rng.choice(names)}" for _ in range(20)
+        ) + "'>" + "".join(
+            rng.choice([f"&{rng.choice(names)}", "&#x110000;", "&#0;", "&#xZZ;", "&bogusname;", "&"])
+            for _ in range(30)
+        ) + "</div>"
+        root = H.parse_html(body)
+        root.text()  # must not raise
+
+
+def test_sniff_decode_bom_wins():
+    assert H.sniff_decode("h\xe9llo".encode("utf-8-sig")) == "h\xe9llo"
+    assert H.sniff_decode("﻿ab".encode("utf-16-le")[0:]) == "ab"
+    assert H.sniff_decode("﻿ab".encode("utf-16-be")[0:]) == "ab"
+
+
+def test_sniff_decode_header_charset():
+    body = "caf\xe9".encode("latin-1")
+    assert H.sniff_decode(body, "text/html; charset=ISO-8859-1") == "caf\xe9"
+    # header beats meta
+    b2 = '<meta charset="utf-8">caf\xe9'.encode("latin-1")
+    assert H.sniff_decode(b2, "text/html; charset=latin-1").endswith("caf\xe9")
+
+
+def test_sniff_decode_meta_prescan():
+    for meta in (
+        '<meta charset="windows-1252">',
+        "<meta charset=windows-1252>",
+        '<meta http-equiv="Content-Type" content="text/html; charset=windows-1252">',
+    ):
+        body = (meta + "smart\x97dash").encode("latin-1")
+        out = H.sniff_decode(body)
+        assert "smart—dash" in out, (meta, out)
+
+
+def test_sniff_decode_misdeclared_and_garbage_charsets():
+    """A lying or unknown charset label must degrade to replacement
+    chars, never raise; parsing the result must also survive."""
+    # declared utf-8 but actually utf-16 payload: U+FFFD runs, no raise
+    lying = '<meta charset="utf-8"><p>x</p>'.encode("utf-16-le")
+    out = H.sniff_decode(lying)
+    H.parse_html(out).text()
+    # unknown label falls back to utf-8
+    body = '<meta charset="x-not-a-charset">ok\xc3\xa9'.encode("latin-1")
+    assert "ok\xe9" in H.sniff_decode(body)
+    # invalid bytes under the declared charset: replaced, not raised
+    bad = b'<meta charset="utf-8">\xff\xfe\xfa tail'
+    assert "�" in H.sniff_decode(bad) and "tail" in H.sniff_decode(bad)
+
+
+def test_sniff_decode_empty_and_default():
+    assert H.sniff_decode(b"") == ""
+    assert H.sniff_decode("plain utf-8 ☃".encode()) == "plain utf-8 ☃"
