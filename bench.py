@@ -39,11 +39,14 @@ HEADLINE = [
     "d_exact_dedup",
     "d_minhash_sig",
     "d_minhash_pairs",
+    "d_dedup_clusters",  # r5: pairs → connected components → survivors
     "d_simhash_sig",
     "s_dot_topk",
+    "s_cosine_topk",     # r5: Arrow-matmul brute force (recall ground truth)
     "s_ann_lsh",
     "s_ann_ivf",
     "m_image_pipeline",
+    "m_audio_pipeline",  # r5: real WAV decode + features
 ]
 
 
