@@ -528,8 +528,21 @@ def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
 def connected_components(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
     """(doc_id, cluster_id) for every doc in the pair graph, where
     cluster_id = min doc_id of the doc's connected component. Input
-    needs only (doc_a, doc_b) columns; direction/duplicates ignored."""
+    needs only (doc_a, doc_b) columns; direction/duplicates ignored.
+
+    Ids must be NUMERIC (integral): the fixpoint detector is an exact
+    decimal label-sum, whose strict monotonicity is what makes
+    sum-unchanged ⇔ labels-unchanged; string ids would decohere the
+    lexicographic min from the numeric sum. Cast string ids first."""
     from pyspark import StorageLevel
+    from pyspark.sql.types import NumericType
+
+    for c in ("doc_a", "doc_b"):
+        if not isinstance(pairs.schema[c].dataType, NumericType):
+            raise TypeError(
+                f"connected_components needs numeric ids; {c} is "
+                f"{pairs.schema[c].dataType.simpleString()} — cast first"
+            )
 
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

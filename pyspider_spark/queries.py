@@ -1062,6 +1062,52 @@ REGISTRY["d_phash_pairs"].sql = f"""
     """
 
 
+@register("d_phash_clusters", None)
+def d_phash_clusters(spark, sf_dir):
+    """Image-modality duplicate clusters: the J5 phash near-dup pair
+    graph resolved by the same connected-components + keep-first
+    survivor operator as the text path (numeric image ids)."""
+    pairs = d_phash_pairs(spark, sf_dir)  # register() returns fn unwrapped
+    num = pairs.select(
+        F.col("image_id").cast("bigint").alias("doc_a"),
+        F.col("dup_of").cast("bigint").alias("doc_b"),
+    )
+    return D.dedup_clusters(num).select(
+        F.col("doc_id").alias("image_id"), "cluster_id", "is_survivor"
+    )
+
+
+REGISTRY["d_phash_clusters"].sql = f"""
+    WITH RECURSIVE ph AS (
+      SELECT CAST(doc_id AS VARCHAR) AS image_id,
+             CAST(({D.h32_duck("'pb:' || lang")} & 2147483647) * 4294967296
+                  + ({D.h32_duck("'pn:' || CAST(doc_id AS VARCHAR)")} & 65535) AS BIGINT) AS phash
+      FROM documents WHERE doc_id < 300
+    ),
+    bands AS (
+      SELECT image_id, phash,
+             unnest([{', '.join(f"concat('{b}:', CAST((phash >> {8 * b}) & 255 AS VARCHAR))" for b in range(8))}]) AS band_key
+      FROM ph
+    ),
+    prs AS (
+      SELECT DISTINCT CAST(l.image_id AS BIGINT) AS a,
+                      CAST(r.image_id AS BIGINT) AS b
+      FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.image_id > r.image_id
+      WHERE bit_count(xor(l.phash, r.phash)) <= 7
+    ),
+    edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS image_id,
+           least(a, min(b)) AS cluster_id,
+           least(a, min(b)) = a AS is_survivor
+    FROM reach GROUP BY a
+    """
+
+
 @register(
     "s_dot_topk",
     f"""
