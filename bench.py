@@ -47,6 +47,7 @@ HEADLINE = [
     "s_ann_ivf",
     "m_image_pipeline",
     "m_audio_pipeline",  # r5: real WAV decode + features
+    "m_video_pipeline",  # r5: real uncompressed-AVI decode + frame sampling
 ]
 
 

@@ -8,11 +8,13 @@ deterministic lossy stub for 'jpeg' — see imaging.py docstring). The
 Spark-side plumbing — binary schema, mapInPandas batch shape, partition
 behavior — is real and is what these operators exercise.
 
-Audio is REAL: RIFF/WAVE PCM decode needs only stdlib ``wave`` + numpy
-(:mod:`pyspider_spark.audio`), so synthesize → decode → features runs
-end-to-end with a golden-parquet oracle. Video frame sampling remains
-stubbed behind NotImplementedError (no ffmpeg in this container) with
-the batch signature a real decoder would use.
+Audio and video are REAL: RIFF/WAVE PCM decode needs only stdlib
+``wave`` + numpy (:mod:`pyspider_spark.audio`), and uncompressed-AVI
+video (RIFF container, raw DIB frames) is parsed by a hand-walked
+chunk reader (:mod:`pyspider_spark.video`) — both run synthesize →
+decode → features end-to-end with golden-parquet oracles. Only
+COMPRESSED video codecs (h264 etc.) remain out of scope (they need
+ffmpeg); the decoder raises cleanly on them (bpp != 24).
 
 Scale notes (100 TB of images): decode runs inside mapInPandas — one
 Python worker per core, Arrow transfer, no JVM round-trips per row; the
@@ -287,8 +289,123 @@ def decode_audio_batch(payloads: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# ---- video (real: uncompressed-AVI RIFF via pyspider_spark.video) -------
+# The last stub closed: RIFF/AVI with raw DIB frames needs no external
+# codec, exactly like WAV. Compressed codecs (h264 etc.) would still
+# need ffmpeg — decode_avi_rgb24 raises cleanly on those (bpp != 24).
+
+VIDEO = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("fps", T.IntegerType(), True),
+        T.StructField("caption", T.StringType(), True),
+    ]
+)
+
+VIDEO_FEATURES = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fps", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_sampled", T.IntegerType(), True),
+        T.StructField("sampled_luma_milli", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def synthesize_video(docs: DataFrame, per_doc: int = 1) -> DataFrame:
+    """Deterministic VIDEO-schema rows keyed by doc_id (real AVI
+    payloads via video.encode_avi_rgb24)."""
+    from .. import video as V
+
+    cols = [f.name for f in VIDEO.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                for j in range(per_doc):
+                    video_id = f"vid{doc_id}-{j}"
+                    frames = V.synth_frames(video_id)
+                    rows.append(
+                        {
+                            "video_id": video_id,
+                            "bytes": V.encode_avi_rgb24(frames, V.FPS),
+                            "w": int(frames.shape[2]),
+                            "h": int(frames.shape[1]),
+                            "n_frames": int(frames.shape[0]),
+                            "fps": V.FPS,
+                            "caption": f"synthetic clip {video_id}",
+                        }
+                    )
+                    if len(rows) >= 64:  # video payloads are the largest
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+        yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(gen, schema=VIDEO)
+
+
+def extract_video_features(clips: DataFrame, every_n: int = 2) -> DataFrame:
+    """Decode AVI payloads → frame-sample → typed integer features,
+    same per-row corrupt-payload tolerance as the image/audio stages."""
+    from .. import video as V
+
+    cols = [f.name for f in VIDEO_FEATURES.fields]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    frames, fps = V.decode_avi_rgb24(bytes(rec.bytes))
+                    f = V.video_features(frames, fps, every_n)
+                    rows.append(
+                        {
+                            "video_id": rec.video_id,
+                            **f,
+                            "n_bytes": len(rec.bytes),
+                            "decode_ok": True,
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {
+                            "video_id": rec.video_id,
+                            "n_frames": None, "w": None, "h": None,
+                            "fps": None, "duration_ms": None,
+                            "n_sampled": None, "sampled_luma_milli": None,
+                            "n_bytes": len(rec.bytes) if rec.bytes is not None else 0,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return clips.mapInPandas(feats, schema=VIDEO_FEATURES)
+
+
 def sample_video_frames_batch(payloads: pd.Series, every_n: int) -> pd.Series:
-    """STUB: video frame sampling (no ffmpeg in this container)."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg, absent from this environment"
-    )
+    """Arrow-batch frame sampling: AVI bytes → (k, h, w, 3) uint8 RGB
+    arrays of every n-th frame (None where the payload does not
+    decode). Real RIFF walk — the former no-ffmpeg stub is closed for
+    uncompressed streams; compressed codecs still raise inside
+    decode and surface as None here."""
+    from .. import video as V
+
+    out = []
+    for b in payloads:
+        try:
+            frames, _ = V.decode_avi_rgb24(bytes(b))
+            out.append(V.sample_frames(frames, every_n))
+        except Exception:
+            out.append(None)
+    return pd.Series(out)

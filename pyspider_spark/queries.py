@@ -1493,6 +1493,41 @@ def m_audio_pipeline(spark, sf_dir):
     )
 
 
+def _golden_video_features_sql() -> str | None:
+    """Oracle for m_video_pipeline — the same committed-golden pattern
+    as image/audio (tests/make_golden_video_features.py, pure-Python
+    no-Spark replay). The codec is REAL: uncompressed-AVI RIFF written
+    and chunk-walked in pyspider_spark/video.py."""
+    import os
+
+    golden = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "golden", "m_video_features.parquet",
+    )
+    if not os.path.exists(golden):
+        return None
+    return f"""
+    SELECT g.video_id, g.n_frames, g.w, g.h, g.fps, g.duration_ms,
+           g.n_sampled, g.sampled_luma_milli, g.decode_ok
+    FROM read_parquet('{golden}') g
+    JOIN (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 40) d
+      ON g.video_id = 'vid' || CAST(d.doc_id AS VARCHAR) || '-0'
+    """
+
+
+@register("m_video_pipeline", None, sql_fn=_golden_video_features_sql)
+def m_video_pipeline(spark, sf_dir):
+    """Video plumbing, fully real for uncompressed AVI: synth RGB clips
+    for 40 docs → RIFF/AVI encode → chunk-walk decode → every-2nd-frame
+    sample → typed integer features, Arrow-batched end to end."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    clips = M.synthesize_video(docs)
+    return M.extract_video_features(clips, every_n=2).select(
+        "video_id", "n_frames", "w", "h", "fps", "duration_ms",
+        "n_sampled", "sampled_luma_milli", "decode_ok",
+    )
+
+
 CRAWL_Q_SPEC = dict(
     n_hosts=3,
     chains_per_host=3,
