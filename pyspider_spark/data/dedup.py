@@ -550,6 +550,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    try:
+        return _cc_iterate(edges, max_iters)
+    finally:
+        edges.unpersist()  # also on no-fixpoint raise / mid-loop failure
+
+
+def _cc_iterate(edges: DataFrame, max_iters: int) -> DataFrame:
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -595,7 +602,6 @@ def connected_components(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
         raise RuntimeError(
             f"connected_components: no fixpoint in {max_iters} rounds"
         )
-    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

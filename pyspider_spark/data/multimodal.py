@@ -14,7 +14,7 @@ video (RIFF container, raw DIB frames) is parsed by a hand-walked
 chunk reader (:mod:`pyspider_spark.video`) — both run synthesize →
 decode → features end-to-end with golden-parquet oracles. Only
 COMPRESSED video codecs (h264 etc.) remain out of scope (they need
-ffmpeg); the decoder raises cleanly on them (bpp != 24).
+ffmpeg); the decoder raises cleanly on them (bpp != 24 or biCompression != BI_RGB).
 
 Scale notes (100 TB of images): decode runs inside mapInPandas — one
 Python worker per core, Arrow transfer, no JVM round-trips per row; the
@@ -292,7 +292,7 @@ def decode_audio_batch(payloads: pd.Series) -> pd.Series:
 # ---- video (real: uncompressed-AVI RIFF via pyspider_spark.video) -------
 # The last stub closed: RIFF/AVI with raw DIB frames needs no external
 # codec, exactly like WAV. Compressed codecs (h264 etc.) would still
-# need ffmpeg — decode_avi_rgb24 raises cleanly on those (bpp != 24).
+# need ffmpeg — decode_avi_rgb24 raises cleanly on those (non-24bpp or non-BI_RGB).
 
 VIDEO = T.StructType(
     [

@@ -151,14 +151,27 @@ def cosine_topk_vectorized(
             dots = av.astype(np.float64) @ qT  # exact integers in f64
             denom = np.maximum(np.sqrt(a_n2[:, None] * q_n2[None, :]), 1e-9)
             cos = np.floor(10000.0 * dots / denom).astype(np.int64)
+            # ONE output frame per input batch (not one per query):
+            # per-query yields would pay pandas/Arrow framing n_queries
+            # times per batch — pure overhead at the 10^7-row scale
+            # this path exists for
+            oq, ov, oc = [], [], []
             for j, qid in enumerate(qids):
                 mask = vids != qid
                 v, cb = vids[mask], cos[mask, j]
                 if len(v) == 0:
                     continue
                 order = np.lexsort((v, -cb))[: min(k, len(v))]
+                oq.append(np.full(len(order), qid, dtype=np.int64))
+                ov.append(v[order])
+                oc.append(cb[order])
+            if oq:
                 yield pd.DataFrame(
-                    {"qid": qid, "vid": v[order], "cos_bp": cb[order]}
+                    {
+                        "qid": np.concatenate(oq),
+                        "vid": np.concatenate(ov),
+                        "cos_bp": np.concatenate(oc),
+                    }
                 )
 
     cand = emb.select("vec_id", "embedding").mapInPandas(

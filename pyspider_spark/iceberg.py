@@ -51,8 +51,6 @@ class IcebergTableStore:
     instead — those stats are native here.
     """
 
-    _merge_seq = 0  # per-process counter for unique merge-view names
-
     def __init__(self, spark: SparkSession, catalog: str, namespace: str = "crawl"):
         self.spark = spark
         self.catalog = catalog
@@ -74,7 +72,18 @@ class IcebergTableStore:
     def current_snapshot_id(self, name: str) -> int | None:
         if not self.exists(name):
             return None
+        # the 'main' branch ref is the CURRENT snapshot. Ordering
+        # .snapshots by committed_at is wrong after rollback_to_snapshot:
+        # rolled-past snapshots stay in metadata with newer commit times
+        # and would be returned as "current" (r5 review finding — it made
+        # prune_abandoned a no-op exactly on the resume path it serves).
         rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._qn(name)}.refs "
+            "WHERE name = 'main'"
+        ).collect()
+        if rows:
+            return int(rows[0][0])
+        rows = self.spark.sql(  # pre-first-ref fallback (empty table)
             f"SELECT snapshot_id FROM {self._qn(name)}.snapshots "
             "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
         ).collect()
@@ -129,9 +138,12 @@ class IcebergTableStore:
         # per-call unique view name: the session-global temp-view
         # namespace is shared across stores, so a fixed name lets two
         # concurrent merges clobber each other's batch between
-        # createOrReplaceTempView and the MERGE (ADVICE r4)
-        IcebergTableStore._merge_seq += 1
-        view = f"_ice_merge_batch_{IcebergTableStore._merge_seq}"
+        # createOrReplaceTempView and the MERGE (ADVICE r4). uuid4, not
+        # a counter — `+= 1` on a class attribute is not atomic, so
+        # concurrent merges could still collide (r5 review finding).
+        import uuid
+
+        view = f"_ice_merge_batch_{uuid.uuid4().hex}"
         batch.createOrReplaceTempView(view)
         try:
             self.spark.sql(

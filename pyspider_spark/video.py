@@ -120,8 +120,9 @@ def _walk_chunks(buf: bytes, start: int, end: int):
 
 def decode_avi_rgb24(data: bytes) -> tuple[np.ndarray, int]:
     """AVI bytes → ((n, h, w, 3) uint8 RGB, fps). Real chunk walk:
-    finds hdrl/strl for geometry + rate, collects '00db'/'00dc' movi
-    chunks in order. Raises ValueError on non-AVI or non-24bpp."""
+    finds hdrl/strl for geometry + rate, collects '00db' (uncompressed
+    DIB) movi chunks in order. Raises ValueError on non-AVI, non-24bpp,
+    or compressed (biCompression != BI_RGB) streams."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     w = h = None
@@ -138,11 +139,24 @@ def decode_avi_rgb24(data: bytes) -> tuple[np.ndarray, int]:
                 if scale:
                     fps = max(1, rate // scale)
             elif fourcc == b"strf" and sz >= 40:
-                _, bw, bh, _, bpp = struct.unpack_from("<IiiHH", data, ps)
-                if bpp != 24:
-                    raise ValueError(f"unsupported bit depth {bpp}")
+                _, bw, bh, _, bpp, compression = struct.unpack_from(
+                    "<IiiHHI", data, ps
+                )
+                # BI_RGB (0) only: real compressed AVIs (MJPG, h264)
+                # conventionally declare bpp=24 with a nonzero
+                # biCompression fourcc — without this check their
+                # frames would be reinterpreted as raw BGR and emit
+                # garbage features with decode_ok=True (r5 review)
+                if bpp != 24 or compression != 0:
+                    raise ValueError(
+                        f"unsupported stream (bpp={bpp}, "
+                        f"compression={compression:#x}); only raw "
+                        "24-bit BI_RGB is decodable without ffmpeg"
+                    )
                 w, h = int(bw), abs(int(bh))
-            elif fourcc in (b"00db", b"00dc"):
+            elif fourcc == b"00db":
+                # '00db' = uncompressed DIB frame; '00dc' (compressed
+                # frame data) is deliberately NOT accepted
                 frames_raw.append(data[ps : ps + sz])
 
     walk_list(12, len(data))

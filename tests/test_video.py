@@ -63,13 +63,21 @@ def test_decoder_is_a_real_chunk_walker():
 def test_decode_rejects_garbage_and_compressed():
     with pytest.raises(ValueError):
         V.decode_avi_rgb24(b"not an avi")
-    # an 8bpp strf must raise 'unsupported bit depth', not misdecode
+    # an 8bpp strf must raise, not misdecode
     frames = V.synth_frames("bpp")
     payload = bytearray(V.encode_avi_rgb24(frames, V.FPS))
     at = bytes(payload).find(b"strf")
     # biBitCount lives at strf payload offset 14 (after size+w+h+planes)
     struct.pack_into("<H", payload, at + 8 + 14, 8)
-    with pytest.raises(ValueError, match="bit depth"):
+    with pytest.raises(ValueError, match="unsupported stream"):
+        V.decode_avi_rgb24(bytes(payload))
+    # a COMPRESSED stream (bpp=24 but biCompression='MJPG') must raise
+    # too — real codecs declare 24bpp with a fourcc here, and treating
+    # their frames as raw BGR would emit garbage with decode_ok=True
+    payload = bytearray(V.encode_avi_rgb24(frames, V.FPS))
+    at = bytes(payload).find(b"strf")
+    payload[at + 8 + 16 : at + 8 + 20] = b"MJPG"  # biCompression
+    with pytest.raises(ValueError, match="unsupported stream"):
         V.decode_avi_rgb24(bytes(payload))
 
 
