@@ -1359,6 +1359,56 @@ REGISTRY["d_embed_neardup"].sql = f"""
     """
 
 
+@register("d_embed_clusters", None)
+def d_embed_clusters(spark, sf_dir):
+    """Embedding-modality duplicate clusters — completes the cluster
+    family across all three near-dup modalities (text minhash, image
+    phash, embedding cosine): the d_embed_neardup pair graph resolved
+    by the same connected-components + keep-first survivor operator."""
+    pairs = d_embed_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return D.dedup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_survivor"
+    )
+
+
+REGISTRY["d_embed_clusters"].sql = f"""
+    WITH RECURSIVE src AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE) * (1.0 +
+                 ({D.h32_duck("concat('tw:', CAST(vec_id AS VARCHAR), ':', CAST(i - 1 AS VARCHAR))")} % 7 - 3) / 1000.0)
+             ) AS embedding
+      FROM embeddings WHERE vec_id < 100
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(x * {S.QUANT}) AS BIGINT)) AS qv
+      FROM src
+    ),
+    s AS (SELECT vec_id, qv, {_sig_duck('qv')} AS sig FROM q),
+    prs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      WHERE {_cosbp_duck('a.qv', 'b.qv')} >= 9900
+    ),
+    edges AS (SELECT va AS a, vb AS b FROM prs UNION SELECT vb, va FROM prs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS vec_id,
+           least(a, min(b)) AS cluster_id,
+           least(a, min(b)) = a AS is_survivor
+    FROM reach GROUP BY a
+    """
+
+
 # U4 anti-bot param surrogates (reference service/pdd_risk.py:16-53):
 # nano_fp / anti_content are pure md5-over-concat derivations, so the
 # DuckDB oracle replays them bit-for-bit. The UA is a literal here (the
